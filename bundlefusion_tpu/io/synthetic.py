@@ -1,0 +1,173 @@
+"""Synthetic RGB-D sequence generator with exact ground-truth poses.
+
+The reference is exercised on recorded ``.sens`` sequences (apt0/office...) that
+are not redistributable; for unit/integration tests and benchmarks we instead
+render depth+color from an analytic SDF scene by sphere tracing — giving every
+oracle the reference never had: exact poses, exact geometry, exact photometry.
+(SURVEY.md §7 "Minimum end-to-end slice".)
+
+The scene is a textured room: floor + two walls + sphere + box, with a
+high-frequency procedural albedo so SIFT finds corners and the photometric BA
+term has gradients. Rendering is jitted JAX (runs on CPU for tests, TPU for
+bench).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..geometry.camera import CameraModel
+
+
+class SyntheticSequence(NamedTuple):
+    depth: np.ndarray  # [N, H, W] float32 meters (0 = invalid)
+    color: np.ndarray  # [N, H, W, 3] float32 in [0, 1]
+    poses: np.ndarray  # [N, 4, 4] float32 camera-to-world
+    camera: CameraModel
+    timestamps: np.ndarray  # [N] float64 seconds
+
+
+def scene_sdf(p: jax.Array) -> jax.Array:
+    """Analytic signed distance of the test scene at world points [..., 3]."""
+    x, y, z = p[..., 0], p[..., 1], p[..., 2]
+    d_floor = y + 1.0  # floor at y = -1
+    d_back = 3.5 - z  # back wall at z = 3.5
+    d_left = x + 2.5  # left wall at x = -2.5
+    sphere_c = jnp.array([0.6, -0.45, 2.2], dtype=p.dtype)
+    d_sphere = jnp.linalg.norm(p - sphere_c, axis=-1) - 0.55
+    box_c = jnp.array([-0.9, -0.65, 2.6], dtype=p.dtype)
+    q = jnp.abs(p - box_c) - jnp.array([0.45, 0.35, 0.4], dtype=p.dtype)
+    d_box = jnp.linalg.norm(jnp.maximum(q, 0.0), axis=-1) + jnp.minimum(
+        jnp.max(q, axis=-1), 0.0
+    )
+    return jnp.minimum(
+        jnp.minimum(jnp.minimum(d_floor, d_back), d_left),
+        jnp.minimum(d_sphere, d_box),
+    )
+
+
+def scene_normal(p: jax.Array) -> jax.Array:
+    eps = 1e-3
+    offs = jnp.eye(3, dtype=p.dtype) * eps
+    n = jnp.stack(
+        [scene_sdf(p + offs[i]) - scene_sdf(p - offs[i]) for i in range(3)], axis=-1
+    )
+    return n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-9)
+
+
+def scene_albedo(p: jax.Array) -> jax.Array:
+    """Procedural high-frequency RGB albedo at world points [..., 3] -> [..., 3].
+
+    Mix of quasi-random sinusoids: corner-rich, non-repeating locally, smooth
+    enough for stable photometric gradients.
+    """
+    freqs = jnp.array(
+        [
+            [7.1, 3.3, 5.7],
+            [2.9, 8.3, 4.1],
+            [5.3, 2.1, 9.2],
+            [11.3, 6.1, 3.7],
+        ],
+        dtype=p.dtype,
+    )
+    phases = jnp.array([0.3, 1.7, 2.9, 0.9], dtype=p.dtype)
+    waves = jnp.sin(jnp.einsum("...i,ki->...k", p, freqs) * 2.3 + phases)  # [..., 4]
+    # blocky checker component for strong corners
+    checker = (jnp.floor(p[..., 0] * 4.0) + jnp.floor(p[..., 1] * 4.0) + jnp.floor(p[..., 2] * 4.0)) % 2.0
+    r = 0.5 + 0.2 * waves[..., 0] + 0.15 * checker
+    g = 0.5 + 0.2 * waves[..., 1] + 0.1 * waves[..., 3]
+    b = 0.5 + 0.2 * waves[..., 2] - 0.1 * checker
+    return jnp.clip(jnp.stack([r, g, b], axis=-1), 0.0, 1.0)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def render_frame(pose_c2w: jax.Array, width: int, height: int, intr: jax.Array):
+    """Sphere-trace one frame. Returns (depth [H,W], color [H,W,3])."""
+    fx, fy, cx, cy = intr[0], intr[1], intr[2], intr[3]
+    v = jax.lax.broadcasted_iota(jnp.float32, (height, width), 0)
+    u = jax.lax.broadcasted_iota(jnp.float32, (height, width), 1)
+    dirs_cam = jnp.stack(
+        [(u - cx) / fx, (v - cy) / fy, jnp.ones_like(u)], axis=-1
+    )
+    R = pose_c2w[:3, :3]
+    origin = pose_c2w[:3, 3]
+    dirs = jnp.einsum("ij,hwj->hwi", R, dirs_cam)
+    dir_norm = jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    dirs_n = dirs / dir_norm
+
+    def step(_, carry):
+        t, hit = carry
+        p = origin + dirs_n * t[..., None]
+        d = scene_sdf(p)
+        hit = hit | (d < 1e-3)
+        t = jnp.where(hit, t, t + jnp.maximum(d, 1e-3))
+        return t, hit
+
+    t0 = jnp.full((height, width), 0.05, dtype=jnp.float32)
+    hit0 = jnp.zeros((height, width), dtype=bool)
+    t, hit = jax.lax.fori_loop(0, 128, step, (t0, hit0))
+    p = origin + dirs_n * t[..., None]
+    # depth = z in camera frame (projective depth, like a real RGB-D sensor);
+    # t is distance along the unit ray, dirs_cam has z == 1, so z = t / |dirs_cam|.
+    z = t / dir_norm[..., 0]
+    valid = hit & (z > 0.1) & (z < 8.0)
+    depth = jnp.where(valid, z, 0.0)
+    n = scene_normal(p)
+    light = jnp.clip(-jnp.sum(n * dirs_n, axis=-1), 0.2, 1.0)
+    color = scene_albedo(p) * light[..., None]
+    color = jnp.where(valid[..., None], color, 0.0)
+    return depth.astype(jnp.float32), color.astype(jnp.float32)
+
+
+def orbit_poses(num_frames: int, radius: float = 0.35, seed: int = 0) -> np.ndarray:
+    """Smooth camera trajectory: slow lateral arc + small rotation, looking at
+    the scene center — representative of handheld scanning motion."""
+    rng = np.random.default_rng(seed)
+    jitter = rng.normal(scale=0.002, size=(num_frames, 3)).cumsum(axis=0)
+    poses = np.zeros((num_frames, 4, 4), dtype=np.float32)
+    target = np.array([0.0, -0.4, 2.4])
+    for i in range(num_frames):
+        ang = (i / max(num_frames - 1, 1) - 0.5) * 0.9  # ~±26 deg arc
+        eye = np.array(
+            [radius * np.sin(ang), 0.15 * np.sin(ang * 2.3), -0.3 * np.cos(ang) + 0.3]
+        ) + jitter[i] * np.array([1.0, 0.5, 1.0])
+        fwd = target - eye
+        fwd = fwd / np.linalg.norm(fwd)
+        up = np.array([0.0, -1.0, 0.0])  # camera y points down (image convention)
+        right = np.cross(up, fwd)
+        right /= np.linalg.norm(right)
+        down = np.cross(fwd, right)
+        poses[i, :3, 0] = right
+        poses[i, :3, 1] = down
+        poses[i, :3, 2] = fwd
+        poses[i, :3, 3] = eye
+        poses[i, 3, 3] = 1.0
+    return poses
+
+
+def generate_sequence(
+    num_frames: int,
+    width: int = 64,
+    height: int = 48,
+    seed: int = 0,
+    radius: float = 0.35,
+) -> SyntheticSequence:
+    """Render a full synthetic RGB-D sequence with ground-truth poses."""
+    fx = 0.9 * width
+    cam = CameraModel.create(fx, fx, (width - 1) / 2.0, (height - 1) / 2.0, width, height)
+    poses = orbit_poses(num_frames, radius=radius, seed=seed)
+    intr = jnp.array([cam.fx, cam.fy, cam.cx, cam.cy], dtype=jnp.float32)
+    render = jax.jit(jax.vmap(lambda T: render_frame(T, width, height, intr)), static_argnums=())
+    depth, color = render(jnp.asarray(poses))
+    return SyntheticSequence(
+        depth=np.asarray(depth),
+        color=np.asarray(color),
+        poses=poses,
+        camera=cam,
+        timestamps=np.arange(num_frames, dtype=np.float64) / 30.0,
+    )
