@@ -1,8 +1,13 @@
-"""Pinhole camera model as a JAX pytree.
+"""Pinhole camera model.
 
 Replaces the reference's ``DepthSensing/DepthCameraUtil.h :: DepthCameraData/
 DepthCameraParams`` (intrinsics + depth<->camera transforms consumed by the
 integrate and raycast kernels) and the intrinsics handling in ``RGBDSensor.h``.
+
+Intrinsics are *static* (plain Python floats/ints, hashable): they are
+per-sequence constants, so we bake them into each compiled XLA program as
+immediates instead of threading them through as traced arrays — fewer traced
+operands, and scalar folding happens at compile time.
 """
 
 from __future__ import annotations
@@ -14,24 +19,22 @@ import jax.numpy as jnp
 
 
 class CameraModel(NamedTuple):
-    """Pinhole intrinsics. All fields are scalars (float32) so the pytree is
-    trivially shardable/broadcastable; width/height are static Python ints."""
+    """Static pinhole intrinsics; usable as a `jit` static argument."""
 
-    fx: jax.Array
-    fy: jax.Array
-    cx: jax.Array
-    cy: jax.Array
+    fx: float
+    fy: float
+    cx: float
+    cy: float
     width: int
     height: int
 
     @staticmethod
-    def create(fx: float, fy: float, cx: float, cy: float, width: int, height: int) -> "CameraModel":
-        f32 = lambda v: jnp.asarray(v, dtype=jnp.float32)
-        return CameraModel(f32(fx), f32(fy), f32(cx), f32(cy), int(width), int(height))
+    def create(fx, fy, cx, cy, width: int, height: int) -> "CameraModel":
+        return CameraModel(float(fx), float(fy), float(cx), float(cy), int(width), int(height))
 
     def scaled(self, new_width: int, new_height: int) -> "CameraModel":
-        """Intrinsics for a resampled image (reference: CUDAImageManager resampling
-        to the integration/processing resolutions keeps intrinsics in sync)."""
+        """Intrinsics for a resampled image (reference: CUDAImageManager keeps
+        intrinsics in sync when resampling to the integration resolution)."""
         sx = new_width / self.width
         sy = new_height / self.height
         return CameraModel(
@@ -39,14 +42,10 @@ class CameraModel(NamedTuple):
         )
 
     def matrix(self) -> jax.Array:
-        k = jnp.stack(
-            [
-                jnp.stack([self.fx, jnp.zeros_like(self.fx), self.cx]),
-                jnp.stack([jnp.zeros_like(self.fy), self.fy, self.cy]),
-                jnp.stack([jnp.zeros_like(self.fx), jnp.zeros_like(self.fx), jnp.ones_like(self.fx)]),
-            ]
+        return jnp.array(
+            [[self.fx, 0.0, self.cx], [0.0, self.fy, self.cy], [0.0, 0.0, 1.0]],
+            dtype=jnp.float32,
         )
-        return k
 
 
 def unproject(cam: CameraModel, depth: jax.Array) -> jax.Array:
@@ -69,8 +68,8 @@ def unproject(cam: CameraModel, depth: jax.Array) -> jax.Array:
 def project(cam: CameraModel, points: jax.Array) -> tuple[jax.Array, jax.Array]:
     """Camera-space points [..., 3] -> pixel coords [..., 2] (u, v) and validity.
 
-    Points behind the camera are invalid. No rounding — callers bilinearly
-    interpolate or floor as needed.
+    Points behind the camera or outside the image are invalid. No rounding —
+    callers bilinearly interpolate or floor as needed.
     """
     z = points[..., 2]
     valid = z > 1e-6
