@@ -77,11 +77,12 @@ def scene_albedo(p: jax.Array) -> jax.Array:
     )
     phases = jnp.array([0.3, 1.7, 2.9, 0.9], dtype=p.dtype)
     waves = jnp.sin(jnp.einsum("...i,ki->...k", p, freqs) * 2.3 + phases)  # [..., 4]
-    # blocky checker component for strong corners
+    # blocky checker components at two scales for strong, dense corners
     checker = (jnp.floor(p[..., 0] * 4.0) + jnp.floor(p[..., 1] * 4.0) + jnp.floor(p[..., 2] * 4.0)) % 2.0
-    r = 0.5 + 0.2 * waves[..., 0] + 0.15 * checker
-    g = 0.5 + 0.2 * waves[..., 1] + 0.1 * waves[..., 3]
-    b = 0.5 + 0.2 * waves[..., 2] - 0.1 * checker
+    fine = (jnp.floor(p[..., 0] * 6.0 + 0.35) + jnp.floor(p[..., 1] * 6.0) + jnp.floor(p[..., 2] * 6.0 + 0.7)) % 2.0
+    r = 0.45 + 0.15 * waves[..., 0] + 0.15 * checker + 0.12 * fine
+    g = 0.45 + 0.15 * waves[..., 1] + 0.1 * waves[..., 3] + 0.12 * fine
+    b = 0.45 + 0.15 * waves[..., 2] - 0.1 * checker + 0.12 * fine
     return jnp.clip(jnp.stack([r, g, b], axis=-1), 0.0, 1.0)
 
 
