@@ -1,0 +1,161 @@
+"""Gauss-Newton driver for sparse+dense bundle adjustment.
+
+Rebuild of the outer loop in ``CUDASolverBundling/CUDASolverBundling.cpp ::
+solve`` (SURVEY.md §3.3 hot loop 4): for each nonlinear iteration, rebuild the
+dense system via projective association, add the sparse term, PCG-solve the
+normal equations, apply se3 updates; afterwards find/prune max-residual
+correspondences (``removeMaxResidualCUDA`` [M]).
+
+The whole solve is one jitted program: `lax.scan`-free Python loop over a
+*static* GN iteration count (unrolled — each iteration is a big fused XLA
+computation; the count is 2-3 in practice, matching the reference defaults).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import BundlingConfig
+from ..geometry import se3
+from ..geometry.camera import CameraModel
+from ..ops.preprocess import FrameCache
+from .residuals import (
+    DenseStats,
+    SparseCorrs,
+    dense_pair_blocks,
+    sparse_pair_blocks,
+    sparse_residuals,
+)
+from .system import assemble_system, pcg_solve
+
+
+class SolveStats(NamedTuple):
+    sparse_res_sum: jax.Array  # [iters] sum of squared sparse residual norms
+    dense_depth_res: jax.Array  # [iters] mean squared dense depth residual
+    dense_color_res: jax.Array  # [iters]
+    pcg_final_rz: jax.Array  # [iters]
+    final_res_norms: jax.Array  # [R] per-correspondence residual after solve
+
+
+class GNProblem(NamedTuple):
+    """Static description of one BA problem instance (all fixed-capacity)."""
+
+    pairs_a: jax.Array  # [P] int32
+    pairs_b: jax.Array  # [P]
+    pair_active: jax.Array  # [P] bool (dense term only active for these)
+    corrs: SparseCorrs  # [R]
+    free_mask: jax.Array  # [N] bool
+
+
+def solve_gn(
+    poses: jax.Array,  # [N, 4, 4] initial world-from-camera poses
+    problem: GNProblem,
+    caches: FrameCache | None,  # batched [N, ...]; None => sparse-only solve
+    cache_cam: CameraModel | None,
+    cfg: BundlingConfig,
+    gn_iters: int,
+    pcg_iters: int,
+    use_dense: bool = True,
+) -> tuple[jax.Array, SolveStats]:
+    """Run GN and return (updated poses, stats). Fully jit-compatible."""
+    n = poses.shape[0]
+    it_stats = {k: [] for k in ("s", "dd", "dc", "rz")}
+
+    for _ in range(gn_iters):
+        JtJ, Jtr, res_norms = sparse_pair_blocks(
+            poses, problem.pairs_a, problem.pairs_b, problem.corrs, cfg.weight_sparse
+        )
+        if use_dense and caches is not None:
+            dJtJ, dJtr, dstats = dense_pair_blocks(
+                poses,
+                problem.pairs_a,
+                problem.pairs_b,
+                problem.pair_active,
+                caches,
+                cache_cam,
+                cfg,
+                cfg.weight_dense_depth,
+                cfg.weight_dense_color,
+            )
+            JtJ = JtJ + dJtJ
+            Jtr = Jtr + dJtr
+            nd = jnp.maximum(jnp.sum(dstats.num_valid_depth), 1)
+            nc = jnp.maximum(jnp.sum(dstats.num_valid_color), 1)
+            it_stats["dd"].append(jnp.sum(dstats.sum_sq_depth) / nd)
+            it_stats["dc"].append(jnp.sum(dstats.sum_sq_color) / nc)
+        else:
+            it_stats["dd"].append(jnp.float32(0))
+            it_stats["dc"].append(jnp.float32(0))
+
+        H, b = assemble_system(
+            n, problem.pairs_a, problem.pairs_b, JtJ, Jtr, problem.free_mask
+        )
+        sol = pcg_solve(H, b, pcg_iters)
+        delta = sol.x.reshape(n, 6)
+        # left-multiplicative se3 update on free poses only
+        upd = se3.se3_exp(delta)
+        new_poses = jnp.einsum("nij,njk->nik", upd, poses)
+        poses = jnp.where(problem.free_mask[:, None, None], new_poses, poses)
+
+        it_stats["s"].append(jnp.sum(problem.corrs.weight * res_norms**2))
+        it_stats["rz"].append(sol.final_rz)
+
+    _, _, final_norms = sparse_residuals(
+        poses, problem.pairs_a, problem.pairs_b, problem.corrs
+    )
+    stats = SolveStats(
+        sparse_res_sum=jnp.stack(it_stats["s"]),
+        dense_depth_res=jnp.stack(it_stats["dd"]),
+        dense_color_res=jnp.stack(it_stats["dc"]),
+        pcg_final_rz=jnp.stack(it_stats["rz"]),
+        final_res_norms=final_norms,
+    )
+    return poses, stats
+
+
+def prune_max_residuals(
+    corrs: SparseCorrs,
+    res_norms: jax.Array,  # [R] from SolveStats.final_res_norms
+    max_res_thresh: float,
+    max_removals: int,
+) -> tuple[SparseCorrs, jax.Array]:
+    """Post-solve correspondence pruning (``removeMaxResidualCUDA`` analog).
+
+    Zeroes the weight of up to `max_removals` worst correspondences whose
+    residual exceeds the threshold. Returns (corrs, num_removed).
+    """
+    score = jnp.where(corrs.weight > 0, res_norms, -jnp.inf)
+    top, idx = jax.lax.top_k(score, max_removals)
+    remove = top > max_res_thresh
+    new_weight = corrs.weight.at[idx].multiply(jnp.where(remove, 0.0, 1.0))
+    return corrs._replace(weight=new_weight), jnp.sum(remove).astype(jnp.int32)
+
+
+def solve_and_prune(
+    poses: jax.Array,
+    problem: GNProblem,
+    caches: FrameCache | None,
+    cache_cam: CameraModel | None,
+    cfg: BundlingConfig,
+    gn_iters: int,
+    pcg_iters: int,
+    use_dense: bool = True,
+    prune_rounds: int = 1,
+) -> tuple[jax.Array, GNProblem, SolveStats, jax.Array]:
+    """solve -> prune -> (resolve) loop, as the reference runs per chunk/global
+    step. Returns (poses, updated problem, stats, total_removed)."""
+    total_removed = jnp.int32(0)
+    stats = None
+    for _ in range(prune_rounds):
+        poses, stats = solve_gn(
+            poses, problem, caches, cache_cam, cfg, gn_iters, pcg_iters, use_dense
+        )
+        corrs, removed = prune_max_residuals(
+            problem.corrs, stats.final_res_norms, cfg.max_res_thresh, cfg.prune_iters
+        )
+        problem = problem._replace(corrs=corrs)
+        total_removed = total_removed + removed
+    return poses, problem, stats, total_removed
