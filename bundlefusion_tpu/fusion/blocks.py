@@ -1,0 +1,225 @@
+"""Dense-block TSDF volume: the TPU replacement for voxel hashing.
+
+Rebuild of the reference's GPU hash table of 8^3 SDF blocks
+(``DepthSensing/CUDASceneRepHashSDF.h/.cu``, ``VoxelUtilHashSDF.h`` — SURVEY.md
+§2.1 "TSDF voxel-hash scene rep"). Voxel hashing exists to make sparse volumes
+GPU-friendly via pointer chasing; the TPU-idiomatic equivalent (north star) is
+a fixed-capacity block pool with a *sorted key table*:
+
+  * ``keys``  [C] int32 — packed block coordinates, ascending; empty slots hold
+    INVALID_KEY and sort to the end. Lookup = vectorized binary search
+    (`searchsorted` + gather), O(log C) with static shapes.
+  * ``sdf/weight/color`` [C, 8, 8, 8(,3)] — plain dense arrays; every kernel
+    (integrate, raycast, MC) vmaps over the block axis.
+  * Allocation = dedup'd key merge + argsort permutation of the pool — a
+    deterministic gather instead of atomic hash insertion.
+
+Block coords span +-512 blocks per axis (3x10-bit packing) — +-16.4 m at the
+default 4 mm voxels / 3.2 cm blocks; larger scenes go through the streaming
+layer (``bundle/streaming.py``).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+BLOCK = 8  # voxels per block axis (kernels are specialized to 8^3)
+_OFF = 512  # coordinate offset for packing
+INVALID_KEY = jnp.int32(1 << 30)  # sorts after every valid key
+
+
+class BlockTable(NamedTuple):
+    """Fixed-capacity sorted block pool."""
+
+    keys: jax.Array  # [C] int32 packed coords, sorted ascending; INVALID_KEY = empty
+    sdf: jax.Array  # [C, 8, 8, 8] float32 truncated signed distance (meters)
+    weight: jax.Array  # [C, 8, 8, 8] float32 integration weight (0 = unobserved)
+    color: jax.Array  # [C, 8, 8, 8, 3] float32 weight-scaled color accumulator
+
+    @property
+    def capacity(self) -> int:
+        return self.keys.shape[0]
+
+    def num_active(self) -> jax.Array:
+        return jnp.sum(self.keys != INVALID_KEY)
+
+
+def make_table(capacity: int) -> BlockTable:
+    return BlockTable(
+        keys=jnp.full((capacity,), INVALID_KEY, dtype=jnp.int32),
+        sdf=jnp.zeros((capacity, BLOCK, BLOCK, BLOCK), jnp.float32),
+        weight=jnp.zeros((capacity, BLOCK, BLOCK, BLOCK), jnp.float32),
+        color=jnp.zeros((capacity, BLOCK, BLOCK, BLOCK, 3), jnp.float32),
+    )
+
+
+def pack_key(block_coord: jax.Array) -> jax.Array:
+    """[..., 3] int32 block coords -> packed int32 key; out-of-range -> INVALID."""
+    c = block_coord + _OFF
+    in_range = jnp.all((c >= 0) & (c < 1024), axis=-1)
+    key = c[..., 0] | (c[..., 1] << 10) | (c[..., 2] << 20)
+    return jnp.where(in_range, key, INVALID_KEY)
+
+
+def unpack_key(key: jax.Array) -> jax.Array:
+    """packed int32 -> [..., 3] int32 block coords (INVALID gives garbage)."""
+    x = (key & 1023) - _OFF
+    y = ((key >> 10) & 1023) - _OFF
+    z = ((key >> 20) & 1023) - _OFF
+    return jnp.stack([x, y, z], axis=-1)
+
+
+def lookup(table_keys: jax.Array, query: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Find slots of packed keys. Returns (slot [..., ], found [...]).
+
+    ``table_keys`` must be sorted ascending (class invariant). Not-found
+    queries return slot 0 with found=False — callers mask.
+    """
+    idx = jnp.searchsorted(table_keys, query)
+    idx = jnp.clip(idx, 0, table_keys.shape[0] - 1)
+    found = (table_keys[idx] == query) & (query != INVALID_KEY)
+    return jnp.where(found, idx, 0).astype(jnp.int32), found
+
+
+def world_to_block(p: jax.Array, voxel_size: float) -> jax.Array:
+    """World points [..., 3] -> integer block coords [..., 3]."""
+    return jnp.floor(p / (BLOCK * voxel_size)).astype(jnp.int32)
+
+
+def block_origin(block_coord: jax.Array, voxel_size: float) -> jax.Array:
+    """Block coord [..., 3] -> world position of its (0,0,0) voxel corner."""
+    return block_coord.astype(jnp.float32) * (BLOCK * voxel_size)
+
+
+def voxel_centers(block_coord: jax.Array, voxel_size: float) -> jax.Array:
+    """[3] block coord -> [8, 8, 8, 3] world centers of its voxels."""
+    g = jnp.arange(BLOCK, dtype=jnp.float32) + 0.5
+    zz, yy, xx = jnp.meshgrid(g, g, g, indexing="ij")
+    local = jnp.stack([xx, yy, zz], axis=-1) * voxel_size  # [8,8,8,3] (x fastest)
+    return block_origin(block_coord, voxel_size)[None, None, None, :] + local
+
+
+def dedup_keys(keys: jax.Array, out_capacity: int) -> jax.Array:
+    """Sort + mask-duplicates + compact to fixed capacity.
+
+    The deterministic replacement for the reference's atomic hash-insert
+    dedup: [A] possibly-duplicated packed keys -> [out_capacity] unique sorted
+    keys (padded with INVALID_KEY).
+    """
+    s = jnp.sort(keys)
+    first = jnp.concatenate([jnp.array([True]), s[1:] != s[:-1]])
+    uniq = jnp.where(first & (s != INVALID_KEY), s, INVALID_KEY)
+    # compact: unique keys are already sorted; push INVALIDs to the end
+    return jnp.sort(uniq)[:out_capacity]
+
+
+def allocate(table: BlockTable, new_keys: jax.Array) -> tuple[BlockTable, jax.Array]:
+    """Insert blocks for `new_keys` (packed, possibly duplicated/INVALID).
+
+    Returns (table with keys merged + data permuted, overflow count). Existing
+    blocks keep their contents; brand-new blocks start zeroed. The whole merge
+    is one argsort + gather over the pool — deterministic, no atomics.
+    """
+    cap = table.capacity
+    cand = dedup_keys(new_keys, new_keys.shape[0])
+    _, found = lookup(table.keys, cand)
+    cand = jnp.where(found, INVALID_KEY, cand)  # only truly-new keys
+
+    all_keys = jnp.concatenate([table.keys, cand])  # [C + A]
+    order = jnp.argsort(all_keys)  # stable; INVALIDs last
+    merged = all_keys[order]
+    overflow = jnp.sum(merged[cap:] != INVALID_KEY)
+    new_keys_sorted = merged[:cap]
+    perm = order[:cap]
+    from_old = perm < cap
+    src = jnp.where(from_old, perm, 0)
+
+    def permute(x):
+        moved = x[src]
+        keep = from_old.reshape((-1,) + (1,) * (x.ndim - 1))
+        return jnp.where(keep, moved, jnp.zeros_like(moved))
+
+    return (
+        BlockTable(
+            keys=new_keys_sorted,
+            sdf=permute(table.sdf),
+            weight=permute(table.weight),
+            color=permute(table.color),
+        ),
+        overflow.astype(jnp.int32),
+    )
+
+
+def garbage_collect(table: BlockTable) -> tuple[BlockTable, jax.Array]:
+    """Drop blocks whose every voxel weight is zero (reference GC pass).
+
+    After de-integration, blocks can return to the unobserved state; freeing
+    them keeps capacity for new geometry. Returns (table, num_freed).
+    """
+    occupied = jnp.any(table.weight > 0.0, axis=(1, 2, 3))
+    live = occupied & (table.keys != INVALID_KEY)
+    freed = jnp.sum((table.keys != INVALID_KEY) & ~occupied)
+    keys = jnp.where(live, table.keys, INVALID_KEY)
+    order = jnp.argsort(keys)
+
+    def permute(x):
+        moved = x[order]
+        keep = live[order].reshape((-1,) + (1,) * (x.ndim - 1))
+        return jnp.where(keep, moved, jnp.zeros_like(moved))
+
+    return (
+        BlockTable(
+            keys=keys[order],
+            sdf=permute(table.sdf),
+            weight=permute(table.weight),
+            color=permute(table.color),
+        ),
+        freed.astype(jnp.int32),
+    )
+
+
+def sample_trilinear(
+    table: BlockTable, p: jax.Array, voxel_size: float
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Trilinear TSDF/color sample at world points [..., 3].
+
+    Returns (sdf [...], color [..., 3], valid [...]). Handles block-boundary
+    corners with 8 independent key lookups (the sorted-table analog of the
+    reference's per-corner hash reads in ``RayCastSDFUtil.h``).
+    """
+    q = p / voxel_size - 0.5  # voxel-center grid coords
+    q0 = jnp.floor(q)
+    f = q - q0
+    q0i = q0.astype(jnp.int32)
+
+    sdf_acc = jnp.zeros(p.shape[:-1], p.dtype)
+    col_acc = jnp.zeros(p.shape[:-1] + (3,), p.dtype)
+    wsum = jnp.zeros(p.shape[:-1], p.dtype)
+    all_ok = jnp.ones(p.shape[:-1], bool)
+    for dz in (0, 1):
+        for dy in (0, 1):
+            for dx in (0, 1):
+                vox = q0i + jnp.array([dx, dy, dz], jnp.int32)
+                bc = jnp.floor_divide(vox, BLOCK)
+                local = vox - bc * BLOCK
+                key = pack_key(bc)
+                slot, found = lookup(table.keys, key)
+                s = table.sdf[slot, local[..., 2], local[..., 1], local[..., 0]]
+                w = table.weight[slot, local[..., 2], local[..., 1], local[..., 0]]
+                c = table.color[slot, local[..., 2], local[..., 1], local[..., 0]]
+                ok = found & (w > 0.0)
+                tw = (
+                    jnp.where(dx == 1, f[..., 0], 1 - f[..., 0])
+                    * jnp.where(dy == 1, f[..., 1], 1 - f[..., 1])
+                    * jnp.where(dz == 1, f[..., 2], 1 - f[..., 2])
+                )
+                sdf_acc = sdf_acc + jnp.where(ok, tw * s, 0.0)
+                col_acc = col_acc + jnp.where(ok[..., None], tw[..., None] * c / jnp.maximum(w, 1e-9)[..., None], 0.0)
+                wsum = wsum + jnp.where(ok, tw, 0.0)
+                all_ok = all_ok & ok
+    valid = all_ok & (wsum > 1e-6)
+    sdf = jnp.where(valid, sdf_acc / jnp.maximum(wsum, 1e-9), jnp.inf)
+    return sdf, col_acc / jnp.maximum(wsum, 1e-9)[..., None], valid

@@ -1,0 +1,238 @@
+"""TSDF integration / de-integration over the dense-block pool.
+
+Rebuild of ``CUDASceneRepHashSDF.cu`` (SURVEY.md §2.1, §3.2 hot loop 1):
+per-frame block allocation along the depth frustum, visible-set compaction,
+weighted TSDF+color integration with depth-scaled truncation — and the
+paper's key trick, exact **de-integration** (the weighted running mean is
+reversible, so de-integrate == integrate with negated weight; SURVEY.md §3.4).
+
+TPU structure: allocation = packed-key dedup + sorted merge (blocks.py);
+integration gathers the visible block set (fixed cap, mask-and-compact), runs
+one vmapped [B, 8, 8, 8] projective update, and scatters the results back —
+no atomics anywhere, so integrate∘deintegrate is bit-exact.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import AppConfig
+from ..geometry import se3
+from ..geometry.camera import CameraModel, project, unproject
+from .blocks import (
+    BLOCK,
+    INVALID_KEY,
+    BlockTable,
+    block_origin,
+    lookup,
+    pack_key,
+    voxel_centers,
+    world_to_block,
+)
+
+
+def truncation_at(depth: jax.Array, cfg: AppConfig) -> jax.Array:
+    """Depth-scaled truncation (``VoxelUtilHashSDF getTruncation``)."""
+    return cfg.truncation + cfg.truncation_scale * depth
+
+
+def frame_alloc_keys(
+    depth: jax.Array,  # [H, W]
+    pose_c2w: jax.Array,  # [4, 4]
+    cam: CameraModel,
+    cfg: AppConfig,
+    samples_per_ray: int = 3,
+) -> jax.Array:
+    """Packed block keys needing allocation for this frame (duplicated, fixed
+    size [H*W*samples + margin-dups]); feed to :func:`blocks.allocate`.
+
+    The reference allocates every block intersecting the truncation band along
+    each depth ray; we sample the band at `samples_per_ray` points per pixel
+    plus the 8-neighborhood via corner offsets of a half-block jitter, which
+    covers the band at block granularity for truncation <~ block extent.
+    """
+    pts_cam = unproject(cam, depth)  # [H, W, 3]
+    valid = (depth > 0) & (depth < cfg.max_integration_distance)
+    trunc = truncation_at(depth, cfg)
+    # unit ray direction in camera space
+    ray = pts_cam / jnp.maximum(depth[..., None], 1e-6)
+    offs = jnp.linspace(-1.0, 1.0, samples_per_ray, dtype=jnp.float32)
+    keys = []
+    for o in offs:
+        p = pts_cam + ray * (trunc * o)[..., None]
+        pw = se3.transform_points(pose_c2w, p.reshape(-1, 3))
+        bc = world_to_block(pw, cfg.voxel_size)
+        k = pack_key(bc)
+        keys.append(jnp.where(valid.reshape(-1), k, INVALID_KEY))
+    return jnp.concatenate(keys)
+
+
+def visible_blocks(
+    table: BlockTable,
+    pose_c2w: jax.Array,
+    cam: CameraModel,
+    cfg: AppConfig,
+) -> tuple[jax.Array, jax.Array]:
+    """Compact the visible-block set (``compactifyVisibleBlocks`` analog).
+
+    Returns (slots [cap], mask [cap]) where cap = cfg.blocks_per_frame_cap;
+    selection = block center inside the (slightly inflated) frustum.
+    """
+    coords = jnp.stack(
+        [
+            (table.keys & 1023) - 512,
+            ((table.keys >> 10) & 1023) - 512,
+            ((table.keys >> 20) & 1023) - 512,
+        ],
+        axis=-1,
+    )
+    ctr = (coords.astype(jnp.float32) + 0.5) * (BLOCK * cfg.voxel_size)
+    w2c = se3.mat_inverse(pose_c2w)
+    p_cam = se3.transform_points(w2c, ctr)
+    uv, ok = project(cam, p_cam)
+    # inflate: accept blocks whose center projects within a margin outside too
+    margin = BLOCK * cfg.voxel_size * cam.fx / jnp.maximum(p_cam[..., 2], 1e-3)
+    u, v = uv[..., 0], uv[..., 1]
+    near = (
+        (p_cam[..., 2] > 0.05)
+        & (p_cam[..., 2] < cfg.max_integration_distance + 1.0)
+        & (u > -margin)
+        & (u < cam.width + margin)
+        & (v > -margin)
+        & (v < cam.height + margin)
+        & (table.keys != INVALID_KEY)
+    )
+    score = jnp.where(near, -p_cam[..., 2], -jnp.inf)  # prefer near blocks
+    top, slots = jax.lax.top_k(score, cfg.blocks_per_frame_cap)
+    return slots.astype(jnp.int32), jnp.isfinite(top)
+
+
+def _integrate_blocks(
+    slots: jax.Array,  # [B] table slots to update
+    mask: jax.Array,  # [B] active
+    table: BlockTable,
+    depth: jax.Array,  # [H, W]
+    color: jax.Array,  # [H, W, 3]
+    pose_c2w: jax.Array,
+    cam: CameraModel,
+    cfg: AppConfig,
+    weight_sign: float,
+) -> BlockTable:
+    """Shared integrate/de-integrate body; weight_sign = +1 integrates,
+    -1 exactly reverses a prior integration with the same pose/frame."""
+    w2c = se3.mat_inverse(pose_c2w)
+    coords = jnp.stack(
+        [
+            (table.keys[slots] & 1023) - 512,
+            ((table.keys[slots] >> 10) & 1023) - 512,
+            ((table.keys[slots] >> 20) & 1023) - 512,
+        ],
+        axis=-1,
+    )
+
+    def per_block(block_coord, active):
+        ctrs = voxel_centers(block_coord, cfg.voxel_size)  # [8,8,8,3]
+        p_cam = se3.transform_points(w2c, ctrs.reshape(-1, 3)).reshape(BLOCK, BLOCK, BLOCK, 3)
+        uv, ok = project(cam, p_cam)
+        ui = jnp.clip(jnp.round(uv[..., 0]).astype(jnp.int32), 0, cam.width - 1)
+        vi = jnp.clip(jnp.round(uv[..., 1]).astype(jnp.int32), 0, cam.height - 1)
+        d = depth[vi, ui]
+        c = color[vi, ui]
+        z = p_cam[..., 2]
+        trunc = truncation_at(d, cfg)
+        sdf_val = d - z  # positive in front of surface
+        upd_ok = (
+            active
+            & ok
+            & (d > 0)
+            & (d < cfg.max_integration_distance)
+            & (sdf_val > -trunc)
+        )
+        sdf_clamped = jnp.clip(sdf_val, -trunc, trunc)
+        dw = jnp.where(upd_ok, cfg.integration_weight_sample * weight_sign, 0.0)
+        return sdf_clamped, dw, c
+
+    sdf_new, dw, c_new = jax.vmap(per_block)(coords, mask)
+
+    # weighted running mean, written in the reversible accumulate form:
+    #   S = sum w_i * sdf_i ; W = sum w_i ; value = S / W
+    old_w = table.weight[slots]
+    old_sdf = table.sdf[slots]
+    old_col = table.color[slots]
+    new_w = old_w + dw
+    # color is stored as the weighted *accumulator* so de-integration is exact
+    num = old_sdf * old_w + sdf_new * dw
+    upd_sdf = jnp.where(new_w > 1e-6, num / jnp.maximum(new_w, 1e-6), 0.0)
+    upd_col = old_col + c_new * dw[..., None]
+    new_w = jnp.clip(new_w, 0.0, cfg.max_integration_weight)
+    upd_w = jnp.where(new_w > 1e-6, new_w, 0.0)
+    upd_sdf = jnp.where(upd_w > 0, upd_sdf, 0.0)
+    upd_col = jnp.where(upd_w[..., None] > 0, upd_col, 0.0)
+
+    return table._replace(
+        sdf=table.sdf.at[slots].set(jnp.where(mask[:, None, None, None], upd_sdf, table.sdf[slots])),
+        weight=table.weight.at[slots].set(jnp.where(mask[:, None, None, None], upd_w, table.weight[slots])),
+        color=table.color.at[slots].set(jnp.where(mask[:, None, None, None, None], upd_col, table.color[slots])),
+    )
+
+
+def _frame_update_set(
+    table: BlockTable,
+    depth: jax.Array,
+    pose_c2w: jax.Array,
+    cam: CameraModel,
+    cfg: AppConfig,
+) -> tuple[jax.Array, jax.Array]:
+    """The block set a frame updates: its own truncation-band blocks.
+
+    Crucially this is a *pure function of (depth, pose)* — independent of the
+    global table state — so integrate and a later deintegrate of the same
+    frame touch exactly the same blocks even after the table has grown,
+    keeping de-integration an exact inverse. (A frustum-visibility set, like
+    the reference's compactified visible list, breaks that exactness once a
+    per-frame cap truncates it.) Returns (slots [cap], mask [cap]).
+    """
+    keys = frame_alloc_keys(depth, pose_c2w, cam, cfg)
+    from .blocks import dedup_keys
+
+    upd_keys = dedup_keys(keys, cfg.blocks_per_frame_cap)
+    slots, found = lookup(table.keys, upd_keys)
+    return slots, found
+
+
+@functools.partial(jax.jit, static_argnames=("cam", "cfg"))
+def integrate(
+    table: BlockTable,
+    depth: jax.Array,
+    color: jax.Array,
+    pose_c2w: jax.Array,
+    cam: CameraModel,
+    cfg: AppConfig,
+) -> tuple[BlockTable, jax.Array]:
+    """Allocate + integrate one frame. Returns (table, alloc overflow count)."""
+    from .blocks import allocate
+
+    keys = frame_alloc_keys(depth, pose_c2w, cam, cfg)
+    table, overflow = allocate(table, keys)
+    slots, mask = _frame_update_set(table, depth, pose_c2w, cam, cfg)
+    table = _integrate_blocks(slots, mask, table, depth, color, pose_c2w, cam, cfg, +1.0)
+    return table, overflow
+
+
+@functools.partial(jax.jit, static_argnames=("cam", "cfg"))
+def deintegrate(
+    table: BlockTable,
+    depth: jax.Array,
+    color: jax.Array,
+    pose_c2w: jax.Array,
+    cam: CameraModel,
+    cfg: AppConfig,
+) -> BlockTable:
+    """Exactly remove a frame's contribution (must use the same pose/depth it
+    was integrated with). No allocation: blocks must already exist."""
+    slots, mask = _frame_update_set(table, depth, pose_c2w, cam, cfg)
+    return _integrate_blocks(slots, mask, table, depth, color, pose_c2w, cam, cfg, -1.0)
