@@ -1,0 +1,360 @@
+"""The online BundleFusion pipeline: chunks -> keyframes -> global BA -> TSDF.
+
+Rebuild of the application layer (``FriedLiver.cpp`` + ``DepthSensing.cpp`` +
+``Bundler``/``OnlineBundler`` — SURVEY.md §2.1, §3.2/3.3): the reference runs
+two threads over two GPUs (bundling vs. reconstruction) synchronized by
+condition variables; offline replay needs none of that — one host loop drives
+jitted chunk programs, the global keyframe graph, the trajectory manager and
+TSDF de/re-integration in sequence, chunk-at-a-time (SURVEY.md §2.2 "PP").
+
+Host responsibilities are orchestration-only: every compute stage is a
+compiled XLA program with fixed shapes; the host keeps python ints (frame
+counters, lost-tracking state machine) and the replay buffer.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..fusion import blocks, marching_cubes, raycast, tsdf
+from ..geometry import se3
+from ..geometry.camera import CameraModel
+from ..utils.logging import RunLog
+from ..utils.timing import TimingLog
+from . import chunk as chunk_mod
+from . import global_graph, trajectory
+
+
+class PipelineOutputs(NamedTuple):
+    poses: np.ndarray  # [F, 4, 4] final optimized world poses
+    valid: np.ndarray  # [F] bool
+    num_keyframes: int
+    tracking_lost_chunks: int
+
+
+class BundleFusion:
+    """Online globally-consistent RGB-D reconstruction (offline replay driver)."""
+
+    def __init__(
+        self,
+        cam: CameraModel,
+        config: Config | None = None,
+        log_path: str | None = None,
+        anchor_pose: np.ndarray | None = None,
+    ):
+        self.config = config or Config()
+        self.config.validate()
+        bc = self.config.bundling
+        ac = self.config.app
+        self.cam = cam
+        self.cache_cam = cam.scaled(bc.cache_width, bc.cache_height)
+        self.S = bc.submap_size
+        self.chunk_frames = bc.chunk_size  # S + 1 with overlap
+
+        self.table = blocks.make_table(ac.block_capacity)
+        self.graph = global_graph.make_graph(bc, bc.cache_height, bc.cache_width)
+        self.traj = trajectory.make_trajectory(bc.max_frames)
+
+        self.num_frames = 0
+        self.num_keyframes = 0
+        self.chunk_count = 0
+        self.tracking_lost = False
+        self.lost_chunks = 0
+        self.consecutive_invalid = 0
+        # world pose anchoring the first keyframe (identity, or GT frame-0
+        # pose when evaluating against ground truth)
+        self.anchor = np.eye(4, dtype=np.float32) if anchor_pose is None else anchor_pose
+
+        self._pending: list[tuple[np.ndarray, np.ndarray]] = []  # (depth, color)
+        self._frame_store: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        self._local_trajs: list[np.ndarray] = []  # per chunk [S+1, 4, 4]
+        self._chunk_valid: list[bool] = []
+
+        self.timing = TimingLog()
+        self.runlog = RunLog(log_path)
+
+    # ------------------------------------------------------------------
+    # frame input
+    # ------------------------------------------------------------------
+
+    def push_frame(self, depth: np.ndarray, color: np.ndarray) -> None:
+        """Feed one frame; chunks are processed as soon as complete."""
+        self._pending.append((depth, color))
+        self._maybe_process_chunk()
+
+    def push_batch(self, depth: np.ndarray, color: np.ndarray, valid=None) -> None:
+        for i in range(depth.shape[0]):
+            if valid is None or valid[i]:
+                self.push_frame(depth[i], color[i])
+
+    def _maybe_process_chunk(self) -> None:
+        # chunk c consumes frames [c*S, c*S + S]; overlap frame c*S is shared
+        # with the previous chunk, so after chunk 0 each chunk needs S new ones
+        while True:
+            needed = self.chunk_frames if self.chunk_count == 0 else self.S
+            if len(self._pending) < needed + (0 if self.chunk_count == 0 else 1):
+                # keep the overlap frame at the head of pending
+                return
+            take = self._pending[: self.chunk_frames]
+            if len(take) < self.chunk_frames:
+                return
+            depth = np.stack([t[0] for t in take])
+            color = np.stack([t[1] for t in take])
+            self._process_chunk(depth, color)
+            # drop consumed frames, keep the overlap frame
+            self._pending = self._pending[self.S :]
+
+    # ------------------------------------------------------------------
+    # core per-chunk step
+    # ------------------------------------------------------------------
+
+    def _process_chunk(self, depth: np.ndarray, color: np.ndarray) -> None:
+        bc = self.config.bundling
+        ac = self.config.app
+        c = self.chunk_count
+        first_frame = c * self.S
+        k_idx = c  # one keyframe per chunk
+
+        with self.timing.stage("chunk_local"):
+            res = chunk_mod.process_chunk(
+                jnp.asarray(depth),
+                jnp.asarray(color),
+                self.cam,
+                self.cache_cam,
+                bc,
+                sigma_d=ac.depth_sigma_d,
+                sigma_r=ac.depth_sigma_r,
+            )
+            jax.block_until_ready(res.local_traj)
+
+        chunk_valid = bool(res.chunk_valid)
+        local_traj = np.asarray(res.local_traj)
+        self._local_trajs.append(local_traj)
+
+        # --- keyframe pose initialization (chain from previous keyframe) ---
+        if k_idx == 0:
+            init_pose = jnp.asarray(self.anchor)
+            kf_valid = chunk_valid
+        elif self._kf_valid(k_idx - 1) and chunk_valid and not self.tracking_lost:
+            prev_pose = self.graph.poses[k_idx - 1]
+            rel = jnp.asarray(self._local_trajs[k_idx - 1][-1])
+            init_pose = prev_pose @ rel
+            kf_valid = True
+        else:
+            init_pose = jnp.asarray(self.anchor)  # provisional; relocalization fixes it
+            kf_valid = False
+
+        with self.timing.stage("graph_add"):
+            self.graph = global_graph.add_keyframe(
+                self.graph,
+                jnp.int32(k_idx),
+                res.keyframe_keys,
+                res.keyframe_cache,
+                init_pose,
+                jnp.asarray(kf_valid and chunk_valid),
+            )
+
+        # --- global matching: loop closure + relocalization ---
+        relinked = False
+        if k_idx > 0 and chunk_valid:
+            with self.timing.stage("global_match"):
+                mres = global_graph.global_match(
+                    self.graph, jnp.int32(k_idx), self.cache_cam, bc
+                )
+                jax.block_until_ready(mres.any_valid)
+            self.graph = mres.graph
+            if bool(mres.any_valid) and not kf_valid:
+                # relocalize: place the keyframe from its best global match
+                j = int(mres.best_prev)
+                T_rel = mres.transforms[j]  # j-cam -> new-cam
+                pose = self.graph.poses[j] @ se3.mat_inverse(T_rel)
+                self.graph = self.graph._replace(
+                    poses=self.graph.poses.at[k_idx].set(pose),
+                    valid=self.graph.valid.at[k_idx].set(True),
+                )
+                kf_valid = True
+                relinked = True
+            elif kf_valid and not bool(mres.any_valid) and k_idx > 0:
+                # keyframe only chain-linked; keep it (odometry mode) — the
+                # reference similarly keeps chunks that fail global match but
+                # are consistent locally, relying on later loop closures
+                pass
+
+        # --- tracking-lost state machine ---
+        if chunk_valid and kf_valid:
+            self.tracking_lost = False
+            self.consecutive_invalid = 0
+        else:
+            self.consecutive_invalid += 1
+            if self.consecutive_invalid >= bc.max_invalid_chunks_lost or not kf_valid:
+                if chunk_valid and not kf_valid:
+                    self.tracking_lost = True
+            if self.tracking_lost or not chunk_valid:
+                self.lost_chunks += 1
+        if relinked:
+            self.tracking_lost = False
+            self.consecutive_invalid = 0
+
+        self._chunk_valid.append(chunk_valid and kf_valid)
+        self.num_keyframes = k_idx + 1
+
+        # --- global BA ---
+        if self.num_keyframes > 1:
+            with self.timing.stage("global_solve"):
+                self.graph, gstats, removed = global_graph.global_solve(
+                    self.graph, self.cache_cam, bc
+                )
+                jax.block_until_ready(self.graph.poses)
+
+        # --- publish optimized trajectory for all frames so far ---
+        self._publish_trajectory()
+
+        # --- integrate this chunk's (new) frames ---
+        new_frames = range(
+            first_frame if c == 0 else first_frame + 1, first_frame + self.chunk_frames
+        )
+        for local_i, f in zip(
+            range(0 if c == 0 else 1, self.chunk_frames), new_frames
+        ):
+            self._frame_store[f] = (depth[local_i], color[local_i])
+            self.num_frames = max(self.num_frames, f + 1)
+            if self._chunk_valid[c]:
+                pose = np.asarray(self.graph.poses[k_idx] @ jnp.asarray(local_traj[local_i]))
+                with self.timing.stage("integrate"):
+                    self.table, overflow = tsdf.integrate(
+                        self.table,
+                        jnp.asarray(depth[local_i]),
+                        jnp.asarray(color[local_i]),
+                        jnp.asarray(pose),
+                        self.cam,
+                        ac,
+                    )
+                self.traj = trajectory.mark_integrated(
+                    self.traj, jnp.int32(f), jnp.asarray(pose)
+                )
+
+        # --- budgeted re-integration (the paper's key trick) ---
+        self._reintegrate(ac.max_reintegrations_per_frame * self.S)
+
+        self.runlog.log(
+            chunk=c,
+            chunk_valid=chunk_valid,
+            kf_valid=kf_valid,
+            num_keys=np.asarray(res.num_keys).tolist(),
+            filtered_matches=int(np.asarray(res.num_matches).sum()),
+            pairs_valid=int(np.asarray(res.pair_valid).sum()),
+            tracking_lost=self.tracking_lost,
+            active_blocks=int(self.table.num_active()),
+            corr_cursor=int(self.graph.corr_cursor),
+        )
+        self.chunk_count += 1
+
+    # ------------------------------------------------------------------
+
+    def _kf_valid(self, k: int) -> bool:
+        return bool(self.graph.valid[k])
+
+    def _publish_trajectory(self) -> None:
+        """complete trajectory = keyframe pose ∘ local relative pose."""
+        if not self._local_trajs:
+            return
+        C = len(self._local_trajs)
+        lt = jnp.asarray(np.stack(self._local_trajs))  # [C, S+1, 4, 4]
+        kf_poses = self.graph.poses[:C]  # [C, 4, 4]
+        world = jnp.einsum("cij,csjk->csik", kf_poses, lt)  # [C, S+1, 4, 4]
+        valid = jnp.asarray(self._chunk_valid) & self.graph.valid[:C]
+        # frame ids per chunk slot
+        fids = (jnp.arange(C)[:, None] * self.S + jnp.arange(self.chunk_frames)[None, :]).astype(jnp.int32)
+        self.traj = trajectory.update_optimized(
+            self.traj,
+            fids.reshape(-1),
+            world.reshape(-1, 4, 4),
+            jnp.repeat(valid, self.chunk_frames),
+        )
+
+    def _reintegrate(self, budget: int) -> None:
+        if budget <= 0:
+            return
+        plan = trajectory.plan_reintegration(self.traj, budget)
+        deint_mask = np.asarray(plan.deint_mask)
+        if not deint_mask.any():
+            return
+        ac = self.config.app
+        for i in np.nonzero(deint_mask)[0]:
+            f = int(plan.deint_frames[i])
+            if f not in self._frame_store:
+                continue
+            depth, color = self._frame_store[f]
+            old_pose = self.traj.integrated_pose[f]
+            with self.timing.stage("deintegrate"):
+                self.table = tsdf.deintegrate(
+                    self.table, jnp.asarray(depth), jnp.asarray(color), old_pose, self.cam, ac
+                )
+            self.traj = trajectory.mark_deintegrated(self.traj, jnp.int32(f))
+            if bool(plan.reint_mask[i]):
+                new_pose = self.traj.opt_pose[f]
+                with self.timing.stage("reintegrate"):
+                    self.table, _ = tsdf.integrate(
+                        self.table, jnp.asarray(depth), jnp.asarray(color), new_pose, self.cam, ac
+                    )
+                self.traj = trajectory.mark_integrated(self.traj, jnp.int32(f), new_pose)
+
+    # ------------------------------------------------------------------
+    # outputs
+    # ------------------------------------------------------------------
+
+    def flush(self) -> None:
+        """Process any tail frames as a final (possibly short) chunk by
+        repeating the last frame to fill the chunk capacity."""
+        needed = self.chunk_frames if self.chunk_count == 0 else self.chunk_frames
+        if len(self._pending) >= 2 and len(self._pending) < needed:
+            last = self._pending[-1]
+            while len(self._pending) < needed:
+                self._pending.append(last)
+            self._maybe_process_chunk()
+
+    def current_poses(self) -> tuple[np.ndarray, np.ndarray]:
+        n = self.num_frames
+        return (
+            np.asarray(self.traj.opt_pose[:n]),
+            np.asarray(self.traj.opt_valid[:n]),
+        )
+
+    def extract_mesh(self):
+        return marching_cubes.extract_mesh(self.table, self.config.app)
+
+    def render_preview(self, pose: np.ndarray, width: int = 0, height: int = 0):
+        ac = self.config.app
+        cam = self.cam if not width else self.cam.scaled(width, height)
+        res = raycast.raycast(self.table, jnp.asarray(pose), cam, ac)
+        return np.asarray(raycast.shade_preview(res))
+
+    def outputs(self) -> PipelineOutputs:
+        poses, valid = self.current_poses()
+        return PipelineOutputs(
+            poses=poses,
+            valid=valid,
+            num_keyframes=self.num_keyframes,
+            tracking_lost_chunks=self.lost_chunks,
+        )
+
+
+def run_sequence(
+    replayer,
+    config: Config | None = None,
+    anchor_pose: np.ndarray | None = None,
+    log_path: str | None = None,
+) -> tuple[BundleFusion, PipelineOutputs]:
+    """Replay an entire sequence through the pipeline (the offline analog of
+    the reference's main loop)."""
+    bf = BundleFusion(replayer.camera, config, log_path=log_path, anchor_pose=anchor_pose)
+    for batch in replayer:
+        bf.push_batch(batch.depth, batch.color, batch.valid)
+    bf.flush()
+    return bf, bf.outputs()

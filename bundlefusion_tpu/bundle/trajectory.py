@@ -1,0 +1,106 @@
+"""Trajectory manager: re-integration scheduling.
+
+Rebuild of ``TrajectoryManager.h/.cpp`` (SURVEY.md §2.1, §3.4 — the paper's
+on-the-fly re-integration): per frame, track the pose it was *integrated* with
+vs. the *currently optimized* pose; after each optimization, the frames whose
+pose moved most are de-integrated (old pose) and re-integrated (new pose)
+under a per-step budget, and frames invalidated after the fact are purely
+de-integrated.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry import se3
+
+# frame states
+NOT_INTEGRATED = 0
+INTEGRATED = 1
+
+
+class TrajectoryState(NamedTuple):
+    integrated_pose: jax.Array  # [F, 4, 4] pose each frame was last fused with
+    integrated: jax.Array  # [F] bool
+    opt_pose: jax.Array  # [F, 4, 4] current optimized pose
+    opt_valid: jax.Array  # [F] bool — frame currently part of a valid chunk
+
+
+def make_trajectory(max_frames: int) -> TrajectoryState:
+    eye = jnp.broadcast_to(jnp.eye(4), (max_frames, 4, 4))
+    return TrajectoryState(
+        integrated_pose=eye,
+        integrated=jnp.zeros(max_frames, bool),
+        opt_pose=eye,
+        opt_valid=jnp.zeros(max_frames, bool),
+    )
+
+
+@jax.jit
+def update_optimized(
+    ts: TrajectoryState,
+    frame_ids: jax.Array,  # [B] int32
+    poses: jax.Array,  # [B, 4, 4]
+    valid: jax.Array,  # [B] bool
+) -> TrajectoryState:
+    return ts._replace(
+        opt_pose=ts.opt_pose.at[frame_ids].set(poses),
+        opt_valid=ts.opt_valid.at[frame_ids].set(valid),
+    )
+
+
+class ReintPlan(NamedTuple):
+    """Budgeted work lists for the fusion thread (SURVEY.md §3.2 reintegrate())."""
+
+    deint_frames: jax.Array  # [budget] int32 — de-integrate at integrated_pose
+    deint_mask: jax.Array  # [budget] bool
+    reint_frames: jax.Array  # [budget] int32 — re-integrate at opt_pose (subset flag below)
+    reint_mask: jax.Array  # [budget] bool — False rows of deint that should NOT re-add
+    max_delta: jax.Array  # float32 — largest pending pose delta (for logging)
+
+
+@functools.partial(jax.jit, static_argnames=("budget", "rot_thresh", "trans_thresh"))
+def plan_reintegration(
+    ts: TrajectoryState,
+    budget: int,
+    rot_thresh: float = 0.008,
+    trans_thresh: float = 0.004,
+) -> ReintPlan:
+    """Pick the `budget` integrated frames whose optimized pose moved most
+    (or which became invalid). Delta metric = rotation angle + translation
+    norm, as in the reference [M]."""
+    ang, dist = se3.pose_distance(ts.integrated_pose, ts.opt_pose)
+    delta = ang + dist
+    moved = ts.integrated & ts.opt_valid & (
+        (ang > rot_thresh) | (dist > trans_thresh)
+    )
+    invalidated = ts.integrated & ~ts.opt_valid
+    score = jnp.where(invalidated, jnp.inf, jnp.where(moved, delta, -jnp.inf))
+    top, idx = jax.lax.top_k(score, budget)
+    work = top > -jnp.inf
+    return ReintPlan(
+        deint_frames=idx.astype(jnp.int32),
+        deint_mask=work,
+        reint_frames=idx.astype(jnp.int32),
+        reint_mask=work & ~invalidated[idx],
+        max_delta=jnp.max(jnp.where(jnp.isfinite(score), score, 0.0)),
+    )
+
+
+@jax.jit
+def mark_integrated(
+    ts: TrajectoryState, frame_id: jax.Array, pose: jax.Array
+) -> TrajectoryState:
+    return ts._replace(
+        integrated_pose=ts.integrated_pose.at[frame_id].set(pose),
+        integrated=ts.integrated.at[frame_id].set(True),
+    )
+
+
+@jax.jit
+def mark_deintegrated(ts: TrajectoryState, frame_id: jax.Array) -> TrajectoryState:
+    return ts._replace(integrated=ts.integrated.at[frame_id].set(False))

@@ -29,7 +29,7 @@ def ate_rmse(
     """RMSE of translational error after rigid alignment, in the GT units (m)."""
     est = np.asarray(estimated, dtype=np.float64)
     gt = np.asarray(ground_truth, dtype=np.float64)
-    mask = np.ones(len(est), dtype=bool) if valid is None else np.asarray(valid, bool)
+    mask = np.ones(len(est), dtype=bool) if valid is None else np.array(valid, dtype=bool)
     mask &= np.isfinite(gt.reshape(len(gt), -1)).all(axis=1)
     mask &= np.isfinite(est.reshape(len(est), -1)).all(axis=1)
     p_est = est[mask][:, :3, 3]

@@ -6,9 +6,9 @@ dense system via projective association, add the sparse term, PCG-solve the
 normal equations, apply se3 updates; afterwards find/prune max-residual
 correspondences (``removeMaxResidualCUDA`` [M]).
 
-The whole solve is one jitted program: `lax.scan`-free Python loop over a
-*static* GN iteration count (unrolled — each iteration is a big fused XLA
-computation; the count is 2-3 in practice, matching the reference defaults).
+The whole solve is one jitted program: Python loop over a *static* GN
+iteration count (unrolled — each iteration is a big fused XLA computation; the
+count is 2-3 in practice, matching the reference defaults).
 """
 
 from __future__ import annotations
@@ -23,10 +23,9 @@ from ..geometry import se3
 from ..geometry.camera import CameraModel
 from ..ops.preprocess import FrameCache
 from .residuals import (
-    DenseStats,
     SparseCorrs,
     dense_pair_blocks,
-    sparse_pair_blocks,
+    sparse_corr_blocks,
     sparse_residuals,
 )
 from .system import assemble_system, pcg_solve
@@ -41,12 +40,17 @@ class SolveStats(NamedTuple):
 
 
 class GNProblem(NamedTuple):
-    """Static description of one BA problem instance (all fixed-capacity)."""
+    """Static description of one BA problem instance (all fixed-capacity).
 
-    pairs_a: jax.Array  # [P] int32
-    pairs_b: jax.Array  # [P]
-    pair_active: jax.Array  # [P] bool (dense term only active for these)
+    The sparse term is per-correspondence (img indices in `corrs`); the dense
+    term runs over an explicit pair list (`dense_pairs_*`), typically all
+    chunk pairs locally or nothing/keyframe-neighbor pairs globally.
+    """
+
     corrs: SparseCorrs  # [R]
+    dense_pairs_a: jax.Array  # [P] int32
+    dense_pairs_b: jax.Array  # [P]
+    dense_pair_active: jax.Array  # [P] bool
     free_mask: jax.Array  # [N] bool
 
 
@@ -65,23 +69,26 @@ def solve_gn(
     it_stats = {k: [] for k in ("s", "dd", "dc", "rz")}
 
     for _ in range(gn_iters):
-        JtJ, Jtr, res_norms = sparse_pair_blocks(
-            poses, problem.pairs_a, problem.pairs_b, problem.corrs, cfg.weight_sparse
-        )
+        sJtJ, sJtr, res_norms = sparse_corr_blocks(poses, problem.corrs, cfg.weight_sparse)
+        idx_a = problem.corrs.img_a
+        idx_b = problem.corrs.img_b
+        JtJ, Jtr = sJtJ, sJtr
         if use_dense and caches is not None:
             dJtJ, dJtr, dstats = dense_pair_blocks(
                 poses,
-                problem.pairs_a,
-                problem.pairs_b,
-                problem.pair_active,
+                problem.dense_pairs_a,
+                problem.dense_pairs_b,
+                problem.dense_pair_active,
                 caches,
                 cache_cam,
                 cfg,
                 cfg.weight_dense_depth,
                 cfg.weight_dense_color,
             )
-            JtJ = JtJ + dJtJ
-            Jtr = Jtr + dJtr
+            idx_a = jnp.concatenate([idx_a, problem.dense_pairs_a])
+            idx_b = jnp.concatenate([idx_b, problem.dense_pairs_b])
+            JtJ = jnp.concatenate([JtJ, dJtJ])
+            Jtr = jnp.concatenate([Jtr, dJtr])
             nd = jnp.maximum(jnp.sum(dstats.num_valid_depth), 1)
             nc = jnp.maximum(jnp.sum(dstats.num_valid_color), 1)
             it_stats["dd"].append(jnp.sum(dstats.sum_sq_depth) / nd)
@@ -90,9 +97,7 @@ def solve_gn(
             it_stats["dd"].append(jnp.float32(0))
             it_stats["dc"].append(jnp.float32(0))
 
-        H, b = assemble_system(
-            n, problem.pairs_a, problem.pairs_b, JtJ, Jtr, problem.free_mask
-        )
+        H, b = assemble_system(n, idx_a, idx_b, JtJ, Jtr, problem.free_mask)
         sol = pcg_solve(H, b, pcg_iters)
         delta = sol.x.reshape(n, 6)
         # left-multiplicative se3 update on free poses only
@@ -103,9 +108,7 @@ def solve_gn(
         it_stats["s"].append(jnp.sum(problem.corrs.weight * res_norms**2))
         it_stats["rz"].append(sol.final_rz)
 
-    _, _, final_norms = sparse_residuals(
-        poses, problem.pairs_a, problem.pairs_b, problem.corrs
-    )
+    _, _, final_norms = sparse_residuals(poses, problem.corrs)
     stats = SolveStats(
         sparse_res_sum=jnp.stack(it_stats["s"]),
         dense_depth_res=jnp.stack(it_stats["dd"]),

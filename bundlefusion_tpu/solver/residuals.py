@@ -34,19 +34,31 @@ from ..ops.preprocess import FrameCache, bilinear_sample
 class SparseCorrs(NamedTuple):
     """Fixed-capacity sparse 3D-3D correspondence store.
 
-    The rebuild of the reference's global ``EntryJ`` correspondence buffer
+    The rebuild of the reference's ``EntryJ`` correspondence buffer
     (``SIFTImageManager`` residual entries): camera-space endpoints of matched
-    keys plus the pair they belong to. weight == 0 disables a slot.
+    keys plus the two image indices, one entry per correspondence.
+    weight == 0 disables a slot.
     """
 
-    pair_idx: jax.Array  # [R] int32 index into the pair list
-    p_a: jax.Array  # [R, 3] camera-space point in image a of the pair
+    img_a: jax.Array  # [R] int32 image index of endpoint a
+    img_b: jax.Array  # [R] int32 image index of endpoint b
+    p_a: jax.Array  # [R, 3] camera-space point in image a
     p_b: jax.Array  # [R, 3] camera-space point in image b
     weight: jax.Array  # [R] float32 (0 = empty/pruned slot)
 
     @property
     def capacity(self) -> int:
-        return self.pair_idx.shape[0]
+        return self.img_a.shape[0]
+
+
+def empty_corrs(capacity: int) -> SparseCorrs:
+    return SparseCorrs(
+        img_a=jnp.zeros(capacity, jnp.int32),
+        img_b=jnp.zeros(capacity, jnp.int32),
+        p_a=jnp.zeros((capacity, 3), jnp.float32),
+        p_b=jnp.zeros((capacity, 3), jnp.float32),
+        weight=jnp.zeros(capacity, jnp.float32),
+    )
 
 
 def point_jacobian(p_world: jax.Array) -> jax.Array:
@@ -62,18 +74,14 @@ def point_jacobian(p_world: jax.Array) -> jax.Array:
 
 def sparse_residuals(
     poses: jax.Array,  # [N, 4, 4]
-    pairs_a: jax.Array,  # [P] int32
-    pairs_b: jax.Array,  # [P]
     corrs: SparseCorrs,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Residuals r_k = T_a p_a - T_b p_b and 12-col Jacobians.
 
     Returns (r [R, 3], J [R, 3, 12], res_norm [R]).
     """
-    a = pairs_a[corrs.pair_idx]
-    b = pairs_b[corrs.pair_idx]
-    Ta = poses[a]
-    Tb = poses[b]
+    Ta = poses[corrs.img_a]
+    Tb = poses[corrs.img_b]
     pa_w = se3.transform_points(Ta, corrs.p_a)
     pb_w = se3.transform_points(Tb, corrs.p_b)
     r = pa_w - pb_w
@@ -83,26 +91,21 @@ def sparse_residuals(
     return r, J, jnp.linalg.norm(r, axis=-1)
 
 
-def sparse_pair_blocks(
+def sparse_corr_blocks(
     poses: jax.Array,
-    pairs_a: jax.Array,
-    pairs_b: jax.Array,
     corrs: SparseCorrs,
     weight_sparse: float,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
-    """Per-pair normal-equation blocks from the sparse term.
+    """Per-correspondence normal-equation blocks from the sparse term.
 
-    Returns (JtJ [P, 12, 12], Jtr [P, 12], res_norm [R]). Accumulation over
-    correspondences is a segment_sum keyed by pair — deterministic.
+    Returns (JtJ [R, 12, 12], Jtr [R, 12], res_norm [R]); assembly scatters
+    them by (img_a, img_b) — same machinery as the dense pair blocks.
     """
-    num_pairs = pairs_a.shape[0]
-    r, J, rn = sparse_residuals(poses, pairs_a, pairs_b, corrs)
+    r, J, rn = sparse_residuals(poses, corrs)
     w = corrs.weight * weight_sparse
     JtJ_k = jnp.einsum("kri,krj->kij", J, J * w[:, None, None])  # [R, 12, 12]
     Jtr_k = jnp.einsum("kri,kr->ki", J, r * w[:, None])  # [R, 12]
-    JtJ = jax.ops.segment_sum(JtJ_k, corrs.pair_idx, num_segments=num_pairs)
-    Jtr = jax.ops.segment_sum(Jtr_k, corrs.pair_idx, num_segments=num_pairs)
-    return JtJ, Jtr, rn
+    return JtJ_k, Jtr_k, rn
 
 
 # ---------------------------------------------------------------------------

@@ -21,27 +21,27 @@ def make_sparse_problem(rng, n_images=3, n_corr=64, noise=0.0):
     xi[0] = 0
     poses_gt = np.asarray(se3.se3_exp(jnp.asarray(xi)))
     pts_w = rng.uniform(-1, 1, size=(n_corr, 3)).astype(np.float32) + [0, 0, 3.0]
-    # pair list: all pairs
+    # every correspondence carries its own image pair (round-robin over pairs)
     pairs = [(a, b) for a in range(n_images) for b in range(a + 1, n_images)]
-    pa_idx = np.array([p[0] for p in pairs], np.int32)
-    pb_idx = np.array([p[1] for p in pairs], np.int32)
-    # each correspondence assigned round-robin to a pair
     pair_of = np.arange(n_corr, dtype=np.int32) % len(pairs)
+    img_a = np.array([pairs[p][0] for p in pair_of], np.int32)
+    img_b = np.array([pairs[p][1] for p in pair_of], np.int32)
     inv = np.linalg.inv(poses_gt)
-    p_a = np.einsum("kij,kj->ki", inv[pa_idx[pair_of], :3, :3], pts_w) + inv[pa_idx[pair_of], :3, 3]
-    p_b = np.einsum("kij,kj->ki", inv[pb_idx[pair_of], :3, :3], pts_w) + inv[pb_idx[pair_of], :3, 3]
+    p_a = np.einsum("kij,kj->ki", inv[img_a, :3, :3], pts_w) + inv[img_a, :3, 3]
+    p_b = np.einsum("kij,kj->ki", inv[img_b, :3, :3], pts_w) + inv[img_b, :3, 3]
     p_a += rng.normal(scale=noise, size=p_a.shape).astype(np.float32)
     corrs = residuals.SparseCorrs(
-        pair_idx=jnp.asarray(pair_of),
+        img_a=jnp.asarray(img_a),
+        img_b=jnp.asarray(img_b),
         p_a=jnp.asarray(p_a.astype(np.float32)),
         p_b=jnp.asarray(p_b.astype(np.float32)),
         weight=jnp.ones(n_corr, jnp.float32),
     )
     problem = gn.GNProblem(
-        pairs_a=jnp.asarray(pa_idx),
-        pairs_b=jnp.asarray(pb_idx),
-        pair_active=jnp.ones(len(pairs), bool),
         corrs=corrs,
+        dense_pairs_a=jnp.zeros(1, jnp.int32),
+        dense_pairs_b=jnp.zeros(1, jnp.int32),
+        dense_pair_active=jnp.zeros(1, bool),
         free_mask=jnp.asarray(np.arange(n_images) > 0),
     )
     return poses_gt, problem
@@ -54,13 +54,13 @@ def test_sparse_jacobian_vs_autodiff(rng):
     def res_fn(xi_all):
         upd = se3.se3_exp(xi_all)
         p = jnp.einsum("nij,njk->nik", upd, poses)
-        r, _, _ = residuals.sparse_residuals(p, problem.pairs_a, problem.pairs_b, problem.corrs)
+        r, _, _ = residuals.sparse_residuals(p, problem.corrs)
         return r
 
     J_auto = jax.jacfwd(res_fn)(jnp.zeros((3, 6)))  # [R, 3, 3, 6]
-    _, J_hand, _ = residuals.sparse_residuals(poses, problem.pairs_a, problem.pairs_b, problem.corrs)
-    a = np.asarray(problem.pairs_a)[np.asarray(problem.corrs.pair_idx)]
-    b = np.asarray(problem.pairs_b)[np.asarray(problem.corrs.pair_idx)]
+    _, J_hand, _ = residuals.sparse_residuals(poses, problem.corrs)
+    a = np.asarray(problem.corrs.img_a)
+    b = np.asarray(problem.corrs.img_b)
     J_auto = np.asarray(J_auto)
     J_hand = np.asarray(J_hand)
     for k in range(J_hand.shape[0]):
@@ -82,17 +82,15 @@ def test_assemble_system_matches_bruteforce(rng):
     """Scattered pair-block assembly == dense accumulation from full Jacobians."""
     poses_gt, problem = make_sparse_problem(rng, n_images=3, n_corr=32)
     poses = jnp.asarray(poses_gt)
-    JtJ, Jtr, _ = residuals.sparse_pair_blocks(
-        poses, problem.pairs_a, problem.pairs_b, problem.corrs, 1.0
-    )
+    JtJ, Jtr, _ = residuals.sparse_corr_blocks(poses, problem.corrs, 1.0)
     H, b = system.assemble_system(
-        3, problem.pairs_a, problem.pairs_b, JtJ, Jtr,
+        3, problem.corrs.img_a, problem.corrs.img_b, JtJ, Jtr,
         jnp.ones(3, bool), damping=0.0,
     )
     # brute force: full [R*3, 18] Jacobian
-    r, J12, _ = residuals.sparse_residuals(poses, problem.pairs_a, problem.pairs_b, problem.corrs)
-    a = np.asarray(problem.pairs_a)[np.asarray(problem.corrs.pair_idx)]
-    bidx = np.asarray(problem.pairs_b)[np.asarray(problem.corrs.pair_idx)]
+    r, J12, _ = residuals.sparse_residuals(poses, problem.corrs)
+    a = np.asarray(problem.corrs.img_a)
+    bidx = np.asarray(problem.corrs.img_b)
     R = r.shape[0]
     Jfull = np.zeros((R, 3, 18), np.float32)
     for k in range(R):
@@ -164,17 +162,11 @@ def test_dense_gn_two_frame_alignment():
     xi = np.array([0.01, -0.015, 0.01, 0.02, -0.02, 0.015], np.float32)
     T1_init = np.asarray(se3.se3_exp(jnp.asarray(xi))) @ T1_gt
     poses = jnp.asarray(np.stack([T0, T1_init]))
-    empty_corrs = residuals.SparseCorrs(
-        pair_idx=jnp.zeros(8, jnp.int32),
-        p_a=jnp.zeros((8, 3)),
-        p_b=jnp.zeros((8, 3)),
-        weight=jnp.zeros(8),
-    )
     problem = gn.GNProblem(
-        pairs_a=jnp.array([0], jnp.int32),
-        pairs_b=jnp.array([1], jnp.int32),
-        pair_active=jnp.array([True]),
-        corrs=empty_corrs,
+        corrs=residuals.empty_corrs(8),
+        dense_pairs_a=jnp.array([0], jnp.int32),
+        dense_pairs_b=jnp.array([1], jnp.int32),
+        dense_pair_active=jnp.array([True]),
         free_mask=jnp.array([False, True]),
     )
     c2 = jax.tree.map(lambda x: x[:2], cache)
