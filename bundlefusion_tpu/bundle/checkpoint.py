@@ -1,0 +1,74 @@
+"""Checkpoint / resume for the whole pipeline state.
+
+The reference has no mid-run persistence (SURVEY.md §5 "Checkpoint/resume" —
+resume = replay the .sens from scratch). The rebuild's entire pipeline state
+is a pytree plus a handful of host counters, so checkpointing is exact: save
+every N chunks, restore, continue bit-for-bit (modulo the frame replay
+buffer, which the caller re-feeds from the dataset).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pickle
+
+import jax
+import numpy as np
+
+from .pipeline import BundleFusion
+
+
+def save_checkpoint(bf: BundleFusion, path: str) -> None:
+    """Serialize the full pipeline state to one file."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    device_state = {
+        "table": jax.tree.map(np.asarray, bf.table),
+        "graph": jax.tree.map(np.asarray, bf.graph),
+        "traj": jax.tree.map(np.asarray, bf.traj),
+    }
+    host_state = {
+        "num_frames": bf.num_frames,
+        "num_keyframes": bf.num_keyframes,
+        "chunk_count": bf.chunk_count,
+        "tracking_lost": bf.tracking_lost,
+        "lost_chunks": bf.lost_chunks,
+        "consecutive_invalid": bf.consecutive_invalid,
+        "anchor": bf.anchor,
+        "local_trajs": bf._local_trajs,
+        "chunk_valid": bf._chunk_valid,
+        "frame_store": bf._frame_store,
+        "config_json": bf.config.to_json(),
+        "camera": tuple(bf.cam),
+    }
+    with open(path, "wb") as f:
+        pickle.dump({"device": device_state, "host": host_state}, f)
+
+
+def load_checkpoint(path: str) -> BundleFusion:
+    """Restore a pipeline from a checkpoint; ready to keep consuming frames."""
+    import jax.numpy as jnp
+
+    from ..config import Config
+    from ..geometry.camera import CameraModel
+
+    with open(path, "rb") as f:
+        data = pickle.load(f)
+    host = data["host"]
+    cfg = Config.from_json(host["config_json"])
+    cam = CameraModel(*host["camera"])
+    bf = BundleFusion(cam, cfg, anchor_pose=host["anchor"])
+    dev = data["device"]
+    bf.table = jax.tree.map(jnp.asarray, dev["table"])
+    bf.graph = jax.tree.map(jnp.asarray, dev["graph"])
+    bf.traj = jax.tree.map(jnp.asarray, dev["traj"])
+    bf.num_frames = host["num_frames"]
+    bf.num_keyframes = host["num_keyframes"]
+    bf.chunk_count = host["chunk_count"]
+    bf.tracking_lost = host["tracking_lost"]
+    bf.lost_chunks = host["lost_chunks"]
+    bf.consecutive_invalid = host["consecutive_invalid"]
+    bf._local_trajs = host["local_trajs"]
+    bf._chunk_valid = host["chunk_valid"]
+    bf._frame_store = host["frame_store"]
+    return bf

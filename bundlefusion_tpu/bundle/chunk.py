@@ -187,14 +187,18 @@ def process_chunk(
     # --- chunk validity: the consecutive-frame chain must hold, and the
     # solved consecutive poses must pass dense verification (verifyOpt) ---
     chain_ok = jnp.all(filt.pair_valid[consec_idx])
-    opt_ok = jnp.ones((), bool)
-    for i in range(s1 - 1):
-        c_i = jax.tree.map(lambda x: x[i], cache)
-        c_j = jax.tree.map(lambda x: x[i + 1], cache)
-        # solved relative transform i -> i+1 camera coords
-        T_ij = se3m.mat_inverse(solved[i + 1]) @ solved[i]
-        ok_f, ov = filters.dense_verify(c_i, c_j, T_ij, cache_cam, cfg)
-        opt_ok = opt_ok & (ok_f > cfg.verify_ok_fraction) & (ov > cfg.verify_min_overlap)
+    # batched opt-verification of all consecutive solved relative poses
+    c_i = jax.tree.map(lambda x: x[:-1], cache)
+    c_j = jax.tree.map(lambda x: x[1:], cache)
+    T_ij = jnp.einsum(
+        "nij,njk->nik", se3m.mat_inverse(solved[1:]), solved[:-1]
+    )  # solved relative transform i -> i+1 camera coords
+    ok_f, ov = jax.vmap(
+        lambda ca_, cb_, T_: filters.dense_verify(ca_, cb_, T_, cache_cam, cfg)
+    )(c_i, c_j, T_ij)
+    opt_ok = jnp.all(
+        (ok_f > cfg.verify_ok_fraction) & (ov > cfg.verify_min_overlap)
+    )
     chunk_valid = chain_ok & opt_ok
 
     keyframe_keys = fuse_keys_to_keyframe(

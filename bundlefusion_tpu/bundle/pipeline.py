@@ -53,6 +53,12 @@ class BundleFusion:
         bc = self.config.bundling
         ac = self.config.app
         self.cam = cam
+        if cam.width % bc.cache_width or cam.height % bc.cache_height:
+            raise ValueError(
+                f"cache resolution {bc.cache_width}x{bc.cache_height} must divide "
+                f"the frame resolution {cam.width}x{cam.height} "
+                "(set bundling.cache_width/cache_height accordingly)"
+            )
         self.cache_cam = cam.scaled(bc.cache_width, bc.cache_height)
         self.S = bc.submap_size
         self.chunk_frames = bc.chunk_size  # S + 1 with overlap

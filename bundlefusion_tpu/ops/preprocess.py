@@ -72,20 +72,31 @@ def bilateral_filter_depth(
 
 def gaussian_filter(x: jax.Array, sigma: float, radius: int | None = None) -> jax.Array:
     """Separable Gaussian blur over the last two axes (used by the SIFT pyramid
-    and intensity smoothing; CUDAImageUtil ``gaussFilterFloatMap`` [M])."""
+    and intensity smoothing; CUDAImageUtil ``gaussFilterFloatMap`` [M]).
+
+    Implemented as two `lax.conv` passes (zero padding): one fused op per
+    axis keeps the XLA graph small (the SIFT pyramid builds ~18 of these per
+    frame) and maps onto the TPU's convolution path instead of a [2r+1]-term
+    unrolled shift-add chain.
+    """
     if radius is None:
         radius = max(1, int(3.0 * sigma + 0.5))
     offs = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
     k = jnp.exp(-(offs**2) / (2.0 * sigma * sigma))
     k = k / jnp.sum(k)
-    # separable passes via stencil shifts (XLA fuses)
-    out = jnp.zeros_like(x)
-    for i, dy in enumerate(range(-radius, radius + 1)):
-        out = out + k[i] * _shift2d(x, dy, 0, fill=0.0)
-    out2 = jnp.zeros_like(x)
-    for i, dx in enumerate(range(-radius, radius + 1)):
-        out2 = out2 + k[i] * _shift2d(out, 0, dx, fill=0.0)
-    return out2
+    lead = x.shape[:-2]
+    h, w = x.shape[-2:]
+    xi = x.reshape((-1, 1, h, w))
+    dn = jax.lax.conv_dimension_numbers(xi.shape, (1, 1, 2 * radius + 1, 1), ("NCHW", "OIHW", "NCHW"))
+    ky = k.reshape(1, 1, -1, 1)
+    kx = k.reshape(1, 1, 1, -1)
+    out = jax.lax.conv_general_dilated(
+        xi, ky, window_strides=(1, 1), padding=((radius, radius), (0, 0)), dimension_numbers=dn
+    )
+    out = jax.lax.conv_general_dilated(
+        out, kx, window_strides=(1, 1), padding=((0, 0), (radius, radius)), dimension_numbers=dn
+    )
+    return out.reshape(lead + (h, w))
 
 
 def color_to_intensity(color: jax.Array) -> jax.Array:

@@ -64,11 +64,15 @@ def solve_gn(
     pcg_iters: int,
     use_dense: bool = True,
 ) -> tuple[jax.Array, SolveStats]:
-    """Run GN and return (updated poses, stats). Fully jit-compatible."""
-    n = poses.shape[0]
-    it_stats = {k: [] for k in ("s", "dd", "dc", "rz")}
+    """Run GN and return (updated poses, stats).
 
-    for _ in range(gn_iters):
+    The GN outer loop is a `lax.scan` with a pose carry: the (large) system
+    build + PCG body is traced/compiled ONCE regardless of iteration count —
+    the reference similarly reuses one set of kernels per nonlinear iteration.
+    """
+    n = poses.shape[0]
+
+    def gn_iter(poses, _):
         sJtJ, sJtr, res_norms = sparse_corr_blocks(poses, problem.corrs, cfg.weight_sparse)
         idx_a = problem.corrs.img_a
         idx_b = problem.corrs.img_b
@@ -91,11 +95,11 @@ def solve_gn(
             Jtr = jnp.concatenate([Jtr, dJtr])
             nd = jnp.maximum(jnp.sum(dstats.num_valid_depth), 1)
             nc = jnp.maximum(jnp.sum(dstats.num_valid_color), 1)
-            it_stats["dd"].append(jnp.sum(dstats.sum_sq_depth) / nd)
-            it_stats["dc"].append(jnp.sum(dstats.sum_sq_color) / nc)
+            dd = jnp.sum(dstats.sum_sq_depth) / nd
+            dc = jnp.sum(dstats.sum_sq_color) / nc
         else:
-            it_stats["dd"].append(jnp.float32(0))
-            it_stats["dc"].append(jnp.float32(0))
+            dd = jnp.float32(0)
+            dc = jnp.float32(0)
 
         H, b = assemble_system(n, idx_a, idx_b, JtJ, Jtr, problem.free_mask)
         sol = pcg_solve(H, b, pcg_iters)
@@ -104,16 +108,17 @@ def solve_gn(
         upd = se3.se3_exp(delta)
         new_poses = jnp.einsum("nij,njk->nik", upd, poses)
         poses = jnp.where(problem.free_mask[:, None, None], new_poses, poses)
+        s = jnp.sum(problem.corrs.weight * res_norms**2)
+        return poses, (s, dd, dc, sol.final_rz)
 
-        it_stats["s"].append(jnp.sum(problem.corrs.weight * res_norms**2))
-        it_stats["rz"].append(sol.final_rz)
+    poses, (s, dd, dc, rz) = jax.lax.scan(gn_iter, poses, None, length=gn_iters)
 
     _, _, final_norms = sparse_residuals(poses, problem.corrs)
     stats = SolveStats(
-        sparse_res_sum=jnp.stack(it_stats["s"]),
-        dense_depth_res=jnp.stack(it_stats["dd"]),
-        dense_color_res=jnp.stack(it_stats["dc"]),
-        pcg_final_rz=jnp.stack(it_stats["rz"]),
+        sparse_res_sum=s,
+        dense_depth_res=dd,
+        dense_color_res=dc,
+        pcg_final_rz=rz,
         final_res_norms=final_norms,
     )
     return poses, stats

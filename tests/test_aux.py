@@ -1,0 +1,141 @@
+"""Tests for auxiliary subsystems: streaming, checkpoint/resume,
+visualization, CLI app, timing/logging (SURVEY.md §5)."""
+
+import dataclasses
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bundlefusion_tpu.config import tiny_test_config
+from bundlefusion_tpu.fusion import blocks, streaming, tsdf
+from util import cached_sequence
+
+APP = tiny_test_config().app
+
+
+def _fused_table(n_frames=6):
+    seq = cached_sequence(8, width=64, height=48)
+    table = blocks.make_table(APP.block_capacity)
+    for i in range(n_frames):
+        table, _ = tsdf.integrate(
+            table,
+            jnp.asarray(seq.depth[i]),
+            jnp.asarray(seq.color[i]),
+            jnp.asarray(seq.poses[i]),
+            seq.camera,
+            APP,
+        )
+    return seq, table
+
+
+def test_stream_out_in_roundtrip():
+    seq, table = _fused_table()
+    cfg = dataclasses.replace(APP, streaming_radius=1.0)
+    cam_pos = seq.poses[0][:3, 3]
+    n0 = int(table.num_active())
+    sdf_sum0 = float(jnp.sum(jnp.abs(table.sdf)))
+    store = streaming.HostBlockStore()
+    t1, n_out = streaming.stream_out(table, store, cam_pos, cfg)
+    assert n_out > 0 and len(store) == n_out
+    assert int(t1.num_active()) == n0 - n_out
+    # camera "returns": everything within a huge radius comes back
+    cfg2 = dataclasses.replace(APP, streaming_radius=100.0)
+    t2, n_in = streaming.stream_in(t1, store, cam_pos, cfg2)
+    assert n_in == n_out and len(store) == 0
+    assert int(t2.num_active()) == n0
+    np.testing.assert_allclose(float(jnp.sum(jnp.abs(t2.sdf))), sdf_sum0, rtol=1e-6)
+
+
+def test_checkpoint_resume(tmp_path):
+    from bundlefusion_tpu.bundle.checkpoint import load_checkpoint, save_checkpoint
+    from bundlefusion_tpu.bundle.pipeline import BundleFusion
+
+    seq = cached_sequence(21, width=128, height=96)
+    cfg = tiny_test_config()
+    bf = BundleFusion(seq.camera, cfg, anchor_pose=seq.poses[0])
+    for i in range(11):
+        bf.push_frame(seq.depth[i], seq.color[i])
+    path = str(tmp_path / "ckpt.pkl")
+    save_checkpoint(bf, path)
+    bf2 = load_checkpoint(path)
+    assert bf2.chunk_count == bf.chunk_count
+    np.testing.assert_array_equal(np.asarray(bf2.graph.poses), np.asarray(bf.graph.poses))
+    np.testing.assert_array_equal(np.asarray(bf2.table.keys), np.asarray(bf.table.keys))
+    # resumed pipeline keeps processing
+    for i in range(11, 21):
+        bf2.push_frame(seq.depth[i], seq.color[i])
+    assert bf2.chunk_count > bf.chunk_count
+
+
+def test_visualization_dumpers(tmp_path):
+    from bundlefusion_tpu import visualization as viz
+    from bundlefusion_tpu.config import tiny_test_config
+    from bundlefusion_tpu.features import matcher, sift
+    from bundlefusion_tpu.ops.preprocess import preprocess_frames
+
+    seq = cached_sequence(4, width=128, height=96)
+    cfg = tiny_test_config().bundling
+    frames, _ = preprocess_frames(
+        jnp.asarray(seq.depth[:2]), jnp.asarray(seq.color[:2]), seq.camera,
+        seq.camera.scaled(32, 24),
+    )
+    keys = sift.detect_batch(frames.intensity, frames.depth, seq.camera, cfg)
+    k0 = jax.tree.map(lambda x: x[0], keys)
+    k1 = jax.tree.map(lambda x: x[1], keys)
+    m = matcher.match_pair(k0, k1, cfg)
+    p1 = viz.save_keypoint_image(str(tmp_path / "keys.png"), seq.color[0], k0)
+    p2 = viz.save_match_image(str(tmp_path / "matches.png"), seq.color[0], seq.color[1], k0, k1, m)
+    assert os.path.getsize(p1) > 0 and os.path.getsize(p2) > 0
+
+
+@pytest.mark.slow
+def test_app_cli_synthetic(tmp_path):
+    from bundlefusion_tpu.app import main
+    from bundlefusion_tpu.config import tiny_test_config
+
+    cfgdir = tmp_path / "cfg"
+    cfgdir.mkdir()
+    cfg = tiny_test_config()
+    (cfgdir / "app.json").write_text(json.dumps(dataclasses.asdict(cfg.app)))
+    (cfgdir / "bundling.json").write_text(json.dumps(dataclasses.asdict(cfg.bundling)))
+    out = tmp_path / "out"
+    rc = main(
+        [
+            "--synthetic", "11",
+            "--width", "128", "--height", "96",
+            "--app-config", str(cfgdir / "app.json"),
+            "--bundling-config", str(cfgdir / "bundling.json"),
+            "--out", str(out),
+            "--checkpoint-every", "1",
+        ]
+    )
+    assert rc == 0
+    summary = json.loads((out / "summary.json").read_text())
+    assert summary["frames"] >= 11
+    assert summary["ate_rmse_m"] < 0.05
+    assert (out / "mesh.ply").stat().st_size > 1000
+    assert (out / "trajectory.txt").read_text().count("\n") >= 10
+    assert (out / "checkpoint.pkl").exists()
+    assert (out / "run.jsonl").read_text().count("\n") >= 2
+
+
+def test_timing_and_runlog(tmp_path):
+    from bundlefusion_tpu.utils.logging import RunLog
+    from bundlefusion_tpu.utils.timing import TimingLog
+
+    t = TimingLog()
+    with t.stage("x"):
+        pass
+    with t.stage("x"):
+        pass
+    assert t.summary()["x"]["count"] == 2
+    assert "x" in t.report()
+    log = RunLog(str(tmp_path / "log.jsonl"))
+    log.log(a=1, b=np.float32(2.5))
+    log.close()
+    rec = json.loads((tmp_path / "log.jsonl").read_text())
+    assert rec == {"a": 1, "b": 2.5}

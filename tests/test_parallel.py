@@ -1,0 +1,93 @@
+"""Multi-chip tests on the 8-device simulated CPU mesh (SURVEY.md §4
+"distributed without a cluster"): sharded programs must equal their
+single-device counterparts bit-for-tolerance."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bundlefusion_tpu.config import tiny_test_config
+from bundlefusion_tpu.geometry import se3
+from bundlefusion_tpu.parallel import mesh as mesh_mod
+from bundlefusion_tpu.parallel import multiseq, sharded_ba
+from bundlefusion_tpu.solver import gn, residuals, system
+from test_solver import make_sparse_problem
+from util import cached_sequence
+
+CFG = tiny_test_config().bundling
+
+pytestmark = pytest.mark.multichip
+
+
+def test_mesh_has_8_devices():
+    assert len(jax.devices()) == 8
+    m = mesh_mod.make_mesh(8)
+    assert m.devices.shape == (8,)
+
+
+def test_pcg_rowsharded_matches_dense(rng):
+    n = 96  # 6N divisible by 8
+    A = rng.standard_normal((n, n)).astype(np.float32)
+    H = A @ A.T + 0.5 * np.eye(n, dtype=np.float32)
+    b = rng.standard_normal(n).astype(np.float32)
+    m = mesh_mod.make_mesh(8)
+    x_sharded = sharded_ba.pcg_solve_rowsharded(m, jnp.asarray(H), jnp.asarray(b), 200)
+    x_ref = system.pcg_solve(jnp.asarray(H), jnp.asarray(b), 200).x
+    np.testing.assert_allclose(np.asarray(x_sharded), np.asarray(x_ref), atol=5e-3, rtol=5e-3)
+
+
+def test_sharded_assembly_matches_dense(rng):
+    poses_gt, problem = make_sparse_problem(rng, n_images=4, n_corr=96)
+    poses = jnp.asarray(poses_gt)
+    m = mesh_mod.make_mesh(8)
+    H_s, b_s = sharded_ba.assemble_system_sharded(
+        m, 4, problem.corrs, poses, problem.free_mask, 1.0
+    )
+    JtJ, Jtr, _ = residuals.sparse_corr_blocks(poses, problem.corrs, 1.0)
+    H_r, b_r = system.assemble_system(
+        4, problem.corrs.img_a, problem.corrs.img_b, JtJ, Jtr, problem.free_mask, damping=0.0
+    )
+    # reference adds 1e-8 diag once; shards add it 8x — compare loosely
+    np.testing.assert_allclose(np.asarray(H_s), np.asarray(H_r), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(b_s), np.asarray(b_r), atol=1e-5)
+
+
+def test_global_solve_sharded_recovers_poses(rng):
+    poses_gt, problem = make_sparse_problem(rng, n_images=4, n_corr=96)
+    xi_noise = (rng.standard_normal((4, 6)) * 0.05).astype(np.float32)
+    xi_noise[0] = 0
+    init = np.einsum(
+        "nij,njk->nik", np.asarray(se3.se3_exp(jnp.asarray(xi_noise))), poses_gt
+    )
+    m = mesh_mod.make_mesh(8)
+    solved = sharded_ba.global_solve_sharded(
+        m, jnp.asarray(init), problem.corrs, problem.free_mask, CFG,
+        gn_iters=4, pcg_iters=48,
+    )
+    for i in range(4):
+        ang, dist = se3.pose_distance(jnp.asarray(poses_gt[i]), solved[i])
+        assert float(dist) < 2e-3, f"pose {i}: {float(dist)}"
+
+
+@pytest.mark.slow
+def test_multiseq_chunk_matches_serial():
+    """8 sequences through the sharded chunk step == serial per-sequence runs."""
+    from bundlefusion_tpu.bundle.chunk import process_chunk
+
+    n_seq, s1 = 8, 5
+    seqs = [cached_sequence(s1, width=64, height=48, seed=i, radius=0.3) for i in range(n_seq)]
+    depth = jnp.asarray(np.stack([s.depth for s in seqs]))  # [8, 5, H, W]
+    color = jnp.asarray(np.stack([s.color for s in seqs]))
+    cam = seqs[0].camera
+    cache_cam = cam.scaled(16, 12)
+    m = mesh_mod.make_mesh(8)
+    fn = multiseq.make_multiseq_chunk_fn(m, cam, cache_cam, CFG)
+    trajs, valid = fn(depth, color)
+    assert trajs.shape == (8, 5, 4, 4)
+    for d in range(0, 8, 3):  # spot-check against the serial program
+        res = process_chunk(depth[d], color[d], cam, cache_cam, CFG)
+        np.testing.assert_allclose(
+            np.asarray(trajs[d]), np.asarray(res.local_traj), atol=1e-4
+        )
+        assert bool(valid[d]) == bool(res.chunk_valid)
