@@ -26,6 +26,10 @@ def save_checkpoint(bf: BundleFusion, path: str) -> None:
         "table": jax.tree.map(np.asarray, bf.table),
         "graph": jax.tree.map(np.asarray, bf.graph),
         "traj": jax.tree.map(np.asarray, bf.traj),
+        "hist_depth": np.asarray(bf._hist_depth),
+        "hist_color": np.asarray(bf._hist_color),
+        "local_traj_dev": np.asarray(bf._local_traj_dev),
+        "chunk_valid_dev": np.asarray(bf._chunk_valid_dev),
     }
     host_state = {
         "num_frames": bf.num_frames,
@@ -37,7 +41,8 @@ def save_checkpoint(bf: BundleFusion, path: str) -> None:
         "anchor": bf.anchor,
         "local_trajs": bf._local_trajs,
         "chunk_valid": bf._chunk_valid,
-        "frame_store": bf._frame_store,
+        "hist_slot": bf._hist_slot,
+        "hist_next": bf._hist_next,
         "config_json": bf.config.to_json(),
         "camera": tuple(bf.cam),
     }
@@ -70,5 +75,10 @@ def load_checkpoint(path: str) -> BundleFusion:
     bf.consecutive_invalid = host["consecutive_invalid"]
     bf._local_trajs = host["local_trajs"]
     bf._chunk_valid = host["chunk_valid"]
-    bf._frame_store = host["frame_store"]
+    bf._hist_slot = host["hist_slot"]
+    bf._hist_next = host["hist_next"]
+    bf._hist_depth = jnp.asarray(dev["hist_depth"])
+    bf._hist_color = jnp.asarray(dev["hist_color"])
+    bf._local_traj_dev = jnp.asarray(dev["local_traj_dev"])
+    bf._chunk_valid_dev = jnp.asarray(dev["chunk_valid_dev"])
     return bf

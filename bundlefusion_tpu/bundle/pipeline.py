@@ -14,7 +14,7 @@ counters, lost-tracking state machine) and the replay buffer.
 
 from __future__ import annotations
 
-import dataclasses
+import functools
 from typing import NamedTuple
 
 import jax
@@ -29,6 +29,68 @@ from ..utils.logging import RunLog
 from ..utils.timing import TimingLog
 from . import chunk as chunk_mod
 from . import global_graph, trajectory
+
+
+@functools.partial(jax.jit, static_argnames=("submap_size", "chunk_frames"))
+def _publish_all(
+    traj: trajectory.TrajectoryState,
+    local_trajs: jax.Array,  # [Cmax, S+1, 4, 4]
+    chunk_valid: jax.Array,  # [Cmax]
+    kf_poses: jax.Array,  # [Kmax, 4, 4]
+    kf_valid: jax.Array,  # [Kmax]
+    submap_size: int,
+    chunk_frames: int,
+) -> trajectory.TrajectoryState:
+    c_pub = min(local_trajs.shape[0], kf_poses.shape[0])
+    lt = local_trajs[:c_pub]
+    world = jnp.einsum("cij,csjk->csik", kf_poses[:c_pub], lt)
+    valid = chunk_valid[:c_pub] & kf_valid[:c_pub]
+    fids = (
+        jnp.arange(c_pub)[:, None] * submap_size + jnp.arange(chunk_frames)[None, :]
+    ).astype(jnp.int32)
+    valid_e = jnp.repeat(valid, chunk_frames)
+    traj = trajectory.update_optimized(
+        traj, fids.reshape(-1), world.reshape(-1, 4, 4), valid_e
+    )
+    # Overlap frames appear in two chunk slots (last of c, first of c+1); the
+    # scatter's last write wins, so an unprocessed/invalid neighbor chunk can
+    # clobber a valid entry. Second pass: re-scatter only the valid entries
+    # (invalid ones get an out-of-range id, which the scatter drops).
+    fids_valid = jnp.where(valid_e, fids.reshape(-1), traj.opt_pose.shape[0])
+    traj = trajectory.update_optimized(
+        traj, fids_valid, world.reshape(-1, 4, 4), valid_e
+    )
+    return traj
+
+
+@functools.partial(jax.jit, static_argnames=("cam", "cfg"))
+def _apply_reint(
+    table,
+    traj: trajectory.TrajectoryState,
+    hist_depth: jax.Array,
+    hist_color: jax.Array,
+    slots: jax.Array,  # [B] ring slots
+    frame_ids: jax.Array,  # [B]
+    valid: jax.Array,  # [B] de-integrate these
+    do_reint: jax.Array,  # [B] re-integrate subset
+    cam: CameraModel,
+    cfg,
+):
+    depth = hist_depth[slots]
+    color = hist_color[slots]
+    old_poses = traj.integrated_pose[frame_ids]
+    new_poses = traj.opt_pose[frame_ids]
+    table = tsdf.deintegrate_batch(table, depth, color, old_poses, valid, cam, cfg)
+    table, _ = tsdf.integrate_batch(table, depth, color, new_poses, do_reint, cam, cfg)
+    sentinel = traj.opt_pose.shape[0]  # out-of-range scatter ids are dropped
+    deint_ids = jnp.where(valid, frame_ids, sentinel)
+    traj = traj._replace(integrated=traj.integrated.at[deint_ids].set(False))
+    reint_ids = jnp.where(do_reint, frame_ids, sentinel)
+    traj = traj._replace(
+        integrated_pose=traj.integrated_pose.at[reint_ids].set(new_poses),
+        integrated=traj.integrated.at[reint_ids].set(True),
+    )
+    return table, traj
 
 
 class PipelineOutputs(NamedTuple):
@@ -78,9 +140,23 @@ class BundleFusion:
         self.anchor = np.eye(4, dtype=np.float32) if anchor_pose is None else anchor_pose
 
         self._pending: list[tuple[np.ndarray, np.ndarray]] = []  # (depth, color)
-        self._frame_store: dict[int, tuple[np.ndarray, np.ndarray]] = {}
-        self._local_trajs: list[np.ndarray] = []  # per chunk [S+1, 4, 4]
+        # device-side frame history ring (filtered depth + color) so
+        # re-integration never re-uploads or re-stacks frames; maps
+        # frame_id -> ring slot on the host
+        self.history_cap = min(bc.max_frames, 512)
+        self._hist_depth = jnp.zeros((self.history_cap, cam.height, cam.width), jnp.float32)
+        self._hist_color = jnp.zeros((self.history_cap, cam.height, cam.width, 3), jnp.float32)
+        self._hist_slot: dict[int, int] = {}
+        self._hist_next = 0
+        self._local_trajs: list[np.ndarray] = []  # per chunk [S+1, 4, 4] (host copy)
         self._chunk_valid: list[bool] = []
+        # device-side fixed-capacity local-trajectory store: growing shapes
+        # would recompile the publish program every chunk
+        self.max_chunks = bc.max_frames // self.S
+        self._local_traj_dev = jnp.broadcast_to(
+            jnp.eye(4), (self.max_chunks, self.chunk_frames, 4, 4)
+        )
+        self._chunk_valid_dev = jnp.zeros(self.max_chunks, bool)
 
         self.timing = TimingLog()
         self.runlog = RunLog(log_path)
@@ -126,6 +202,7 @@ class BundleFusion:
         c = self.chunk_count
         first_frame = c * self.S
         k_idx = c  # one keyframe per chunk
+        _t_chunk_start = __import__("time").perf_counter()
 
         with self.timing.stage("chunk_local"):
             res = chunk_mod.process_chunk(
@@ -142,6 +219,7 @@ class BundleFusion:
         chunk_valid = bool(res.chunk_valid)
         local_traj = np.asarray(res.local_traj)
         self._local_trajs.append(local_traj)
+        self._local_traj_dev = self._local_traj_dev.at[c].set(res.local_traj)
 
         # --- keyframe pose initialization (chain from previous keyframe) ---
         if k_idx == 0:
@@ -156,7 +234,7 @@ class BundleFusion:
             init_pose = jnp.asarray(self.anchor)  # provisional; relocalization fixes it
             kf_valid = False
 
-        with self.timing.stage("graph_add"):
+        with self.timing.stage("graph_add", block=lambda: self.graph.poses):
             self.graph = global_graph.add_keyframe(
                 self.graph,
                 jnp.int32(k_idx),
@@ -208,45 +286,64 @@ class BundleFusion:
             self.consecutive_invalid = 0
 
         self._chunk_valid.append(chunk_valid and kf_valid)
+        self._chunk_valid_dev = self._chunk_valid_dev.at[c].set(chunk_valid and kf_valid)
         self.num_keyframes = k_idx + 1
 
         # --- global BA ---
         if self.num_keyframes > 1:
-            with self.timing.stage("global_solve"):
+            with self.timing.stage("global_solve", block=lambda: self.graph.poses):
                 self.graph, gstats, removed = global_graph.global_solve(
                     self.graph, self.cache_cam, bc
                 )
                 jax.block_until_ready(self.graph.poses)
 
         # --- publish optimized trajectory for all frames so far ---
-        self._publish_trajectory()
+        with self.timing.stage("publish", block=lambda: self.traj.opt_pose):
+            self._publish_trajectory()
 
-        # --- integrate this chunk's (new) frames ---
-        new_frames = range(
-            first_frame if c == 0 else first_frame + 1, first_frame + self.chunk_frames
-        )
-        for local_i, f in zip(
-            range(0 if c == 0 else 1, self.chunk_frames), new_frames
-        ):
-            self._frame_store[f] = (depth[local_i], color[local_i])
-            self.num_frames = max(self.num_frames, f + 1)
-            if self._chunk_valid[c]:
-                pose = np.asarray(self.graph.poses[k_idx] @ jnp.asarray(local_traj[local_i]))
-                with self.timing.stage("integrate"):
-                    self.table, overflow = tsdf.integrate(
-                        self.table,
-                        jnp.asarray(depth[local_i]),
-                        jnp.asarray(color[local_i]),
-                        jnp.asarray(pose),
-                        self.cam,
-                        ac,
-                    )
-                self.traj = trajectory.mark_integrated(
-                    self.traj, jnp.int32(f), jnp.asarray(pose)
+        # --- integrate this chunk's (new) frames: one batched device program,
+        # using the *filtered* depth already on device (matches the reference:
+        # the CUDAImageManager's processed frames feed the TSDF, and avoids
+        # re-uploading raw frames over the host link) ---
+        lo = 0 if c == 0 else 1
+        new_local = np.arange(lo, self.chunk_frames)
+        new_ids = first_frame + new_local
+        # append the chunk's processed frames to the device history ring
+        slots = []
+        for f in new_ids:
+            slot = self._hist_next % self.history_cap
+            # evict whatever frame previously used this slot
+            for old_f, old_s in list(self._hist_slot.items()):
+                if old_s == slot:
+                    del self._hist_slot[old_f]
+            self._hist_slot[int(f)] = slot
+            slots.append(slot)
+            self._hist_next += 1
+            self.num_frames = max(self.num_frames, int(f) + 1)
+        slots_a = jnp.asarray(slots, jnp.int32)
+        self._hist_depth = self._hist_depth.at[slots_a].set(res.frames.depth[lo:])
+        self._hist_color = self._hist_color.at[slots_a].set(res.frames.color[lo:])
+        if self._chunk_valid[c]:
+            poses_b = jnp.einsum(
+                "ij,njk->nik", self.graph.poses[k_idx], jnp.asarray(local_traj[new_local])
+            )
+            with self.timing.stage("integrate", block=lambda: self.table.weight):
+                self.table, overflow = tsdf.integrate_batch(
+                    self.table,
+                    res.frames.depth[lo:],
+                    res.frames.color[lo:],
+                    poses_b,
+                    jnp.ones(len(new_local), bool),
+                    self.cam,
+                    ac,
                 )
+            self.traj = trajectory.mark_integrated_batch(
+                self.traj, jnp.asarray(new_ids, jnp.int32), poses_b
+            )
 
         # --- budgeted re-integration (the paper's key trick) ---
-        self._reintegrate(ac.max_reintegrations_per_frame * self.S)
+        with self.timing.stage("reint_plan_apply"):
+            self._reintegrate(ac.max_reintegrations_per_frame * self.S)
 
         self.runlog.log(
             chunk=c,
@@ -259,6 +356,7 @@ class BundleFusion:
             active_blocks=int(self.table.num_active()),
             corr_cursor=int(self.graph.corr_cursor),
         )
+        self.timing.record("whole_chunk_step", __import__("time").perf_counter() - _t_chunk_start)
         self.chunk_count += 1
 
     # ------------------------------------------------------------------
@@ -267,49 +365,62 @@ class BundleFusion:
         return bool(self.graph.valid[k])
 
     def _publish_trajectory(self) -> None:
-        """complete trajectory = keyframe pose ∘ local relative pose."""
+        """complete trajectory = keyframe pose ∘ local relative pose.
+
+        One fixed-shape jitted program over the full chunk capacity — inactive
+        chunk slots are masked, so the shape (and thus the compilation) never
+        changes as the sequence grows.
+        """
         if not self._local_trajs:
             return
-        C = len(self._local_trajs)
-        lt = jnp.asarray(np.stack(self._local_trajs))  # [C, S+1, 4, 4]
-        kf_poses = self.graph.poses[:C]  # [C, 4, 4]
-        world = jnp.einsum("cij,csjk->csik", kf_poses, lt)  # [C, S+1, 4, 4]
-        valid = jnp.asarray(self._chunk_valid) & self.graph.valid[:C]
-        # frame ids per chunk slot
-        fids = (jnp.arange(C)[:, None] * self.S + jnp.arange(self.chunk_frames)[None, :]).astype(jnp.int32)
-        self.traj = trajectory.update_optimized(
+        self.traj = _publish_all(
             self.traj,
-            fids.reshape(-1),
-            world.reshape(-1, 4, 4),
-            jnp.repeat(valid, self.chunk_frames),
+            self._local_traj_dev,
+            self._chunk_valid_dev,
+            self.graph.poses,
+            self.graph.valid,
+            self.S,
+            self.chunk_frames,
         )
 
     def _reintegrate(self, budget: int) -> None:
+        """Apply one budgeted de/re-integration step (SURVEY.md §3.4): plan on
+        device, one host sync for the work list, then ONE fused device program
+        (history gather + de-integrate + re-integrate + bookkeeping)."""
         if budget <= 0:
             return
         plan = trajectory.plan_reintegration(self.traj, budget)
-        deint_mask = np.asarray(plan.deint_mask)
+        deint_mask = np.array(plan.deint_mask)  # one host sync per chunk
         if not deint_mask.any():
             return
-        ac = self.config.app
+        frames_np = np.asarray(plan.deint_frames)
+        reint_np = np.asarray(plan.reint_mask)
+        ids, do_reint = [], []
         for i in np.nonzero(deint_mask)[0]:
-            f = int(plan.deint_frames[i])
-            if f not in self._frame_store:
-                continue
-            depth, color = self._frame_store[f]
-            old_pose = self.traj.integrated_pose[f]
-            with self.timing.stage("deintegrate"):
-                self.table = tsdf.deintegrate(
-                    self.table, jnp.asarray(depth), jnp.asarray(color), old_pose, self.cam, ac
-                )
-            self.traj = trajectory.mark_deintegrated(self.traj, jnp.int32(f))
-            if bool(plan.reint_mask[i]):
-                new_pose = self.traj.opt_pose[f]
-                with self.timing.stage("reintegrate"):
-                    self.table, _ = tsdf.integrate(
-                        self.table, jnp.asarray(depth), jnp.asarray(color), new_pose, self.cam, ac
-                    )
-                self.traj = trajectory.mark_integrated(self.traj, jnp.int32(f), new_pose)
+            f = int(frames_np[i])
+            if f in self._hist_slot:  # evicted frames can't be re-integrated
+                ids.append(f)
+                do_reint.append(bool(reint_np[i]))
+        if not ids:
+            return
+        pad = budget - len(ids)
+        ids_p = np.array(ids + [ids[0]] * pad, np.int32)
+        slots_p = np.array([self._hist_slot[f] for f in ids_p], np.int32)
+        valid_p = np.array([True] * len(ids) + [False] * pad)
+        reint_p = np.array(do_reint + [False] * pad)
+        with self.timing.stage("reint_apply", block=lambda: self.table.weight):
+            self.table, self.traj = _apply_reint(
+                self.table,
+                self.traj,
+                self._hist_depth,
+                self._hist_color,
+                jnp.asarray(slots_p),
+                jnp.asarray(ids_p),
+                jnp.asarray(valid_p),
+                jnp.asarray(reint_p),
+                self.cam,
+                self.config.app,
+            )
 
     # ------------------------------------------------------------------
     # outputs

@@ -102,5 +102,15 @@ def mark_integrated(
 
 
 @jax.jit
+def mark_integrated_batch(
+    ts: TrajectoryState, frame_ids: jax.Array, poses: jax.Array
+) -> TrajectoryState:
+    return ts._replace(
+        integrated_pose=ts.integrated_pose.at[frame_ids].set(poses),
+        integrated=ts.integrated.at[frame_ids].set(True),
+    )
+
+
+@jax.jit
 def mark_deintegrated(ts: TrajectoryState, frame_id: jax.Array) -> TrajectoryState:
     return ts._replace(integrated=ts.integrated.at[frame_id].set(False))

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from ..config import BundlingConfig
 from ..geometry import se3
 from ..geometry.camera import CameraModel, project
-from ..ops.preprocess import FrameCache, bilinear_sample
+from ..ops.preprocess import FrameCache, bilinear_sample_matmul
 from .matcher import PairMatches
 
 
@@ -116,9 +116,16 @@ def dense_verify(
     valid_a = cache_a.depth.reshape(-1) > 0.0
     pts_in_b = se3.transform_points(T_ba, pts_a)
     uv, proj_ok = project(cam, pts_in_b)
-    depth_b, inb = bilinear_sample(cache_b.depth, uv)
-    normal_b, _ = bilinear_sample(cache_b.normals, uv)
-    inten_b, _ = bilinear_sample(cache_b.intensity, uv)
+    # one separable-matmul gather for all 5 channels (MXU path; see
+    # preprocess.bilinear_sample_matmul)
+    stack_b = jnp.concatenate(
+        [cache_b.depth[..., None], cache_b.normals, cache_b.intensity[..., None]],
+        axis=-1,
+    )
+    samp, inb = bilinear_sample_matmul(stack_b, uv)
+    depth_b = samp[:, 0]
+    normal_b = samp[:, 1:4]
+    inten_b = samp[:, 4]
     proj_ok = proj_ok & inb & valid_a & (depth_b > 0.0)
 
     dist = jnp.abs(pts_in_b[:, 2] - depth_b)

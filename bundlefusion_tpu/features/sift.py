@@ -134,23 +134,24 @@ def _extremum_mask(dog: jax.Array, contrast_thresh: float, edge_thresh: float):
     r = edge_thresh
     edge_ok = (det2 > 0) & (tr * tr * r < (r + 1) * (r + 1) * det2)
 
-    # solve H @ offset = -g for the 3x3 (x, y, s) system, batched per pixel
-    H = jnp.stack(
-        [
-            jnp.stack([dxx, dxy, dxs], axis=-1),
-            jnp.stack([dxy, dyy, dys], axis=-1),
-            jnp.stack([dxs, dys, dss], axis=-1),
-        ],
-        axis=-2,
-    )
-    g = jnp.stack([dx, dy, ds], axis=-1)
-    # 3x3 solve via adjugate (avoids batched linalg.solve on huge stacks)
-    detH = jnp.linalg.det(H)
+    # solve H @ offset = -g for the symmetric 3x3 (x, y, s) system per pixel.
+    # Closed-form adjugate arithmetic (pure VPU elementwise) — batched
+    # jnp.linalg.inv would run an LU per pixel, catastrophically slow on TPU.
+    c00 = dyy * dss - dys * dys
+    c01 = dxs * dys - dxy * dss
+    c02 = dxy * dys - dxs * dyy
+    c11 = dxx * dss - dxs * dxs
+    c12 = dxy * dxs - dxx * dys
+    c22 = dxx * dyy - dxy * dxy
+    detH = dxx * c00 + dxy * c01 + dxs * c02
     ok_det = jnp.abs(detH) > 1e-12
-    Hinv = jnp.linalg.inv(jnp.where(ok_det[..., None, None], H, jnp.eye(3)))
-    offset = -jnp.einsum("...ij,...j->...i", Hinv, g)
+    inv_det = jnp.where(ok_det, 1.0 / jnp.where(ok_det, detH, 1.0), 0.0)
+    off_x = -(c00 * dx + c01 * dy + c02 * ds) * inv_det
+    off_y = -(c01 * dx + c11 * dy + c12 * ds) * inv_det
+    off_s = -(c02 * dx + c12 * dy + c22 * ds) * inv_det
+    offset = jnp.stack([off_x, off_y, off_s], axis=-1)
     offset = jnp.clip(offset, -0.6, 0.6)
-    refined = d + 0.5 * jnp.einsum("...i,...i->...", g, offset)
+    refined = d + 0.5 * (dx * offset[..., 0] + dy * offset[..., 1] + ds * offset[..., 2])
     mask = mask & edge_ok & ok_det & (jnp.abs(refined) > contrast_thresh)
     return mask, offset, refined
 
@@ -213,34 +214,62 @@ def _window_coords(xy: jax.Array, sigma: jax.Array, theta: jax.Array, spacing_fa
     return xy[:, None, :] + rot * spacing
 
 
-def _gather_grads(gx_tall: jax.Array, gy_tall: jax.Array, coords: jax.Array,
-                  scale_idx: jax.Array, h: int, w: int):
-    """Bilinear-gather gradients at [K, 256, 2] octave coords from the tall
-    stacked gradient images [(S*h), w]; rows offset by scale_idx*h.
+_PATCH = 64  # per-key patch extent; covers the widest descriptor window
 
-    Returns (gx, gy, mask) each [K, 256].
+
+def _extract_patches(tall: jax.Array, x0: jax.Array, row0: jax.Array) -> jax.Array:
+    """Slice-gather [K] patches [_PATCH, _PATCH] from the tall image.
+
+    vmapped dynamic_slice lowers to a gather *of contiguous rows*, which the
+    TPU memory system handles far better than per-element gathers.
     """
+    return jax.vmap(
+        lambda r, c: jax.lax.dynamic_slice(tall, (r, c), (_PATCH, _PATCH))
+    )(row0, x0)
+
+
+def _sample_in_patches(patches: jax.Array, lx: jax.Array, ly: jax.Array) -> jax.Array:
+    """Bilinear sampling inside per-key patches as tent-weight contractions.
+
+    patches [K, P, P]; lx/ly [K, S] patch-local float coords. Returns [K, S].
+    On TPU this is MXU work (two small matmuls per key) instead of 4S random
+    gathers per key — the same separable-tent trick as
+    ``preprocess.bilinear_sample_matmul``.
+    """
+    p = patches.shape[-1]
+    grid = jnp.arange(p, dtype=patches.dtype)
+    ty = jnp.maximum(0.0, 1.0 - jnp.abs(ly[..., None] - grid))  # [K, S, P]
+    tx = jnp.maximum(0.0, 1.0 - jnp.abs(lx[..., None] - grid))  # [K, S, P]
+    tmp = jnp.einsum("ksp,kpq->ksq", ty, patches)  # [K, S, P]
+    return jnp.einsum("ksq,ksq->ks", tmp, tx)
+
+
+def _gather_grads_patches(
+    patches_x: jax.Array,  # [K, P, P] gx patches
+    patches_y: jax.Array,  # [K, P, P] gy patches
+    coords: jax.Array,  # [K, S, 2] octave coords
+    x0: jax.Array,  # [K] patch origins (octave x)
+    y0: jax.Array,  # [K] patch origins (octave y, within-level)
+    h: int,
+    w: int,
+):
+    """Sample both gradient images at window coords. Returns (gx, gy, mask)."""
     x = coords[..., 0]
     y = coords[..., 1]
     inb = (x >= 0.0) & (x <= w - 1.001) & (y >= 0.0) & (y <= h - 1.001)
-    xc = jnp.clip(x, 0.0, w - 1.001)
-    yc = jnp.clip(y, 0.0, h - 1.001)
-    row = yc + (scale_idx.astype(jnp.float32) * h)[:, None]
-    x0 = jnp.floor(xc)
-    y0 = jnp.floor(row)
-    fx = xc - x0
-    fy = row - y0
-    x0i = x0.astype(jnp.int32)
-    y0i = y0.astype(jnp.int32)
-
-    def bil(img):
-        v00 = img[y0i, x0i]
-        v01 = img[y0i, x0i + 1]
-        v10 = img[y0i + 1, x0i]
-        v11 = img[y0i + 1, x0i + 1]
-        return v00 * (1 - fx) * (1 - fy) + v01 * fx * (1 - fy) + v10 * (1 - fx) * fy + v11 * fx * fy
-
-    return bil(gx_tall), bil(gy_tall), inb
+    lx = jnp.clip(x - x0[:, None].astype(x.dtype), 0.0, _PATCH - 1.001)
+    ly = jnp.clip(y - y0[:, None].astype(y.dtype), 0.0, _PATCH - 1.001)
+    # samples whose coords fall outside the extracted patch are masked anyway
+    # (the patch covers the full window except for keys clamped at borders)
+    in_patch = (
+        (x - x0[:, None] >= 0)
+        & (x - x0[:, None] < _PATCH - 1)
+        & (y - y0[:, None] >= 0)
+        & (y - y0[:, None] < _PATCH - 1)
+    )
+    gx = _sample_in_patches(patches_x, lx, ly)
+    gy = _sample_in_patches(patches_y, lx, ly)
+    return gx, gy, inb & in_patch
 
 
 def _orientation_and_desc(
@@ -255,9 +284,19 @@ def _orientation_and_desc(
     """Dominant orientation then rotated 128-D descriptor for each key."""
     spatial, gauss_w = _spatial_weights()
 
+    # --- one patch per key (reused by both windows): slice-gather from the
+    # tall gradient stacks at (scale row, clamped window origin) ---
+    xi = jnp.round(xy_oct[:, 0]).astype(jnp.int32)
+    yi = jnp.round(xy_oct[:, 1]).astype(jnp.int32)
+    x0 = jnp.clip(xi - _PATCH // 2, 0, max(w - _PATCH, 0))
+    y0 = jnp.clip(yi - _PATCH // 2, 0, max(h - _PATCH, 0))
+    row0 = scale_idx * h + y0
+    patches_x = _extract_patches(gx_tall, x0, row0)
+    patches_y = _extract_patches(gy_tall, x0, row0)
+
     # --- orientation: unrotated window, 36-bin histogram ---
     coords = _window_coords(xy_oct, sigma_oct, jnp.zeros_like(sigma_oct), spacing_factor=0.4)
-    gx, gy, m = _gather_grads(gx_tall, gy_tall, coords, scale_idx, h, w)
+    gx, gy, m = _gather_grads_patches(patches_x, patches_y, coords, x0, y0, h, w)
     mag = jnp.sqrt(gx * gx + gy * gy) * m * gauss_w[None, :]
     ang = jnp.arctan2(gy, gx)  # [-pi, pi]
     binf = (ang + jnp.pi) / (2 * jnp.pi) * _NBINS_ORI
@@ -283,7 +322,7 @@ def _orientation_and_desc(
 
     # --- descriptor: rotated window ---
     coords_d = _window_coords(xy_oct, sigma_oct, theta, spacing_factor=0.75)
-    gx, gy, m = _gather_grads(gx_tall, gy_tall, coords_d, scale_idx, h, w)
+    gx, gy, m = _gather_grads_patches(patches_x, patches_y, coords_d, x0, y0, h, w)
     mag = jnp.sqrt(gx * gx + gy * gy) * m * gauss_w[None, :]
     ang = jnp.arctan2(gy, gx) - theta[:, None]
     binf = (ang / (2 * jnp.pi)) * _DESC_ORI
@@ -367,8 +406,10 @@ def detect_and_describe(
         g_stack = gauss[1 : num_scales + 1 + 1]  # levels 1..S+1 usable
         gxs = 0.5 * (_shift2d(g_stack, 0, -1) - _shift2d(g_stack, 0, 1))
         gys = 0.5 * (_shift2d(g_stack, -1, 0) - _shift2d(g_stack, 1, 0))
-        gx_tall = gxs.reshape(-1, w)
-        gy_tall = gys.reshape(-1, w)
+        # pad _PATCH zero rows so per-key patch slices never clamp at the end
+        # of the tall stack (clamping would silently shift patch origins)
+        gx_tall = jnp.pad(gxs.reshape(-1, w), ((0, _PATCH), (0, max(_PATCH - w, 0))))
+        gy_tall = jnp.pad(gys.reshape(-1, w), ((0, _PATCH), (0, max(_PATCH - w, 0))))
         scale_row = jnp.clip(jnp.round(s_cont - 1.0).astype(jnp.int32), 0, g_stack.shape[0] - 1)
 
         theta, desc = _orientation_and_desc(

@@ -4,19 +4,24 @@ Rebuild of the reference's GPU hash table of 8^3 SDF blocks
 (``DepthSensing/CUDASceneRepHashSDF.h/.cu``, ``VoxelUtilHashSDF.h`` — SURVEY.md
 §2.1 "TSDF voxel-hash scene rep"). Voxel hashing exists to make sparse volumes
 GPU-friendly via pointer chasing; the TPU-idiomatic equivalent (north star) is
-a fixed-capacity block pool with a *sorted key table*:
+a fixed-capacity block pool with a *sorted key index* indirected from the data:
 
-  * ``keys``  [C] int32 — packed block coordinates, ascending; empty slots hold
-    INVALID_KEY and sort to the end. Lookup = vectorized binary search
+  * ``keys``  [C] int32 — packed block coordinates, ascending; empty entries
+    hold INVALID_KEY and sort to the end. Lookup = vectorized binary search
     (`searchsorted` + gather), O(log C) with static shapes.
-  * ``sdf/weight/color`` [C, 8, 8, 8(,3)] — plain dense arrays; every kernel
-    (integrate, raycast, MC) vmaps over the block axis.
-  * Allocation = dedup'd key merge + argsort permutation of the pool — a
-    deterministic gather instead of atomic hash insertion.
+  * ``slot_of`` [C] int32 — the data slot behind each sorted index entry (a
+    permutation of [0, C)); ``key_of_slot`` [C] is the reverse map.
+  * ``sdf/weight/color`` [C, 8, 8, 8(,3)] — plain dense arrays addressed by
+    data slot. **Block data never moves**: allocation/GC re-sort only the tiny
+    [C] index pair, assigning data slots from the free tail — the voxel pool
+    (hundreds of MB) is untouched, unlike a sort-the-pool design that would
+    shuffle it every frame.
+  * Allocation = dedup'd key merge — a deterministic sorted-set union instead
+    of atomic hash insertion.
 
 Block coords span +-512 blocks per axis (3x10-bit packing) — +-16.4 m at the
 default 4 mm voxels / 3.2 cm blocks; larger scenes go through the streaming
-layer (``bundle/streaming.py``).
+layer (``fusion/streaming.py``).
 """
 
 from __future__ import annotations
@@ -32,9 +37,11 @@ INVALID_KEY = jnp.int32(1 << 30)  # sorts after every valid key
 
 
 class BlockTable(NamedTuple):
-    """Fixed-capacity sorted block pool."""
+    """Fixed-capacity block pool with a sorted key index."""
 
-    keys: jax.Array  # [C] int32 packed coords, sorted ascending; INVALID_KEY = empty
+    keys: jax.Array  # [C] int32 sorted packed coords; INVALID_KEY = empty entry
+    slot_of: jax.Array  # [C] int32 data slot per sorted index entry (permutation)
+    key_of_slot: jax.Array  # [C] int32 packed coord per data slot (INVALID = free)
     sdf: jax.Array  # [C, 8, 8, 8] float32 truncated signed distance (meters)
     weight: jax.Array  # [C, 8, 8, 8] float32 integration weight (0 = unobserved)
     color: jax.Array  # [C, 8, 8, 8, 3] float32 weight-scaled color accumulator
@@ -50,6 +57,8 @@ class BlockTable(NamedTuple):
 def make_table(capacity: int) -> BlockTable:
     return BlockTable(
         keys=jnp.full((capacity,), INVALID_KEY, dtype=jnp.int32),
+        slot_of=jnp.arange(capacity, dtype=jnp.int32),
+        key_of_slot=jnp.full((capacity,), INVALID_KEY, dtype=jnp.int32),
         sdf=jnp.zeros((capacity, BLOCK, BLOCK, BLOCK), jnp.float32),
         weight=jnp.zeros((capacity, BLOCK, BLOCK, BLOCK), jnp.float32),
         color=jnp.zeros((capacity, BLOCK, BLOCK, BLOCK, 3), jnp.float32),
@@ -72,16 +81,16 @@ def unpack_key(key: jax.Array) -> jax.Array:
     return jnp.stack([x, y, z], axis=-1)
 
 
-def lookup(table_keys: jax.Array, query: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """Find slots of packed keys. Returns (slot [..., ], found [...]).
+def lookup(table: BlockTable, query: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Find DATA slots of packed keys. Returns (slot [...], found [...]).
 
-    ``table_keys`` must be sorted ascending (class invariant). Not-found
-    queries return slot 0 with found=False — callers mask.
+    Not-found queries return slot 0 with found=False — callers mask.
     """
-    idx = jnp.searchsorted(table_keys, query)
-    idx = jnp.clip(idx, 0, table_keys.shape[0] - 1)
-    found = (table_keys[idx] == query) & (query != INVALID_KEY)
-    return jnp.where(found, idx, 0).astype(jnp.int32), found
+    idx = jnp.searchsorted(table.keys, query)
+    idx = jnp.clip(idx, 0, table.capacity - 1)
+    found = (table.keys[idx] == query) & (query != INVALID_KEY)
+    slot = table.slot_of[idx]
+    return jnp.where(found, slot, 0).astype(jnp.int32), found
 
 
 def world_to_block(p: jax.Array, voxel_size: float) -> jax.Array:
@@ -119,37 +128,56 @@ def dedup_keys(keys: jax.Array, out_capacity: int) -> jax.Array:
 def allocate(table: BlockTable, new_keys: jax.Array) -> tuple[BlockTable, jax.Array]:
     """Insert blocks for `new_keys` (packed, possibly duplicated/INVALID).
 
-    Returns (table with keys merged + data permuted, overflow count). Existing
-    blocks keep their contents; brand-new blocks start zeroed. The whole merge
-    is one argsort + gather over the pool — deterministic, no atomics.
+    Returns (table, overflow count). Existing blocks keep their data slots;
+    brand-new blocks take slots from the free tail and have their voxel data
+    zeroed. Only the [C]-sized index pair is re-sorted — the voxel pool never
+    moves.
     """
     cap = table.capacity
-    cand = dedup_keys(new_keys, new_keys.shape[0])
-    _, found = lookup(table.keys, cand)
+    cand = dedup_keys(new_keys, new_keys.shape[0])  # [A] unique sorted
+    _, found = lookup(table, cand)
     cand = jnp.where(found, INVALID_KEY, cand)  # only truly-new keys
 
-    all_keys = jnp.concatenate([table.keys, cand])  # [C + A]
-    order = jnp.argsort(all_keys)  # stable; INVALIDs last
-    merged = all_keys[order]
-    overflow = jnp.sum(merged[cap:] != INVALID_KEY)
-    new_keys_sorted = merged[:cap]
-    perm = order[:cap]
-    from_old = perm < cap
-    src = jnp.where(from_old, perm, 0)
+    num_active = table.num_active()
+    num_free = cap - num_active
+    is_new = cand != INVALID_KEY
+    rank = jnp.cumsum(is_new) - 1  # [A] rank among new keys
+    can_host = is_new & (rank < num_free)
+    overflow = jnp.sum(is_new & ~can_host).astype(jnp.int32)
+    cand = jnp.where(can_host, cand, INVALID_KEY)
 
-    def permute(x):
-        moved = x[src]
-        keep = from_old.reshape((-1,) + (1,) * (x.ndim - 1))
-        return jnp.where(keep, moved, jnp.zeros_like(moved))
+    # take free data slots from the END of the free tail of the sorted index
+    # (the kept INVALID entries come from its head — invariant preserved)
+    free_idx = jnp.clip(cap - 1 - rank, 0, cap - 1)
+    assigned = jnp.where(can_host, table.slot_of[free_idx], 0).astype(jnp.int32)
+
+    # zero the newly assigned blocks (slots may hold stale GC'd data);
+    # masked rows use an out-of-range sentinel (scatter drops them)
+    sentinel = cap
+    zslots = jnp.where(can_host, assigned, sentinel)
+    sdf = table.sdf.at[zslots].set(0.0)
+    weight = table.weight.at[zslots].set(0.0)
+    color = table.color.at[zslots].set(0.0)
+    key_of_slot = table.key_of_slot.at[zslots].set(cand)
+
+    # merge the sorted index (stable sort keeps old entries first on the
+    # INVALID tail, so kept INVALIDs are exactly the unassigned free slots)
+    all_keys = jnp.concatenate([table.keys, cand])
+    all_slots = jnp.concatenate([table.slot_of, assigned])
+    order = jnp.argsort(all_keys, stable=True)
+    new_keys_sorted = all_keys[order][:cap]
+    new_slot_of = all_slots[order][:cap]
 
     return (
         BlockTable(
             keys=new_keys_sorted,
-            sdf=permute(table.sdf),
-            weight=permute(table.weight),
-            color=permute(table.color),
+            slot_of=new_slot_of,
+            key_of_slot=key_of_slot,
+            sdf=sdf,
+            weight=weight,
+            color=color,
         ),
-        overflow.astype(jnp.int32),
+        overflow,
     )
 
 
@@ -157,27 +185,36 @@ def garbage_collect(table: BlockTable) -> tuple[BlockTable, jax.Array]:
     """Drop blocks whose every voxel weight is zero (reference GC pass).
 
     After de-integration, blocks can return to the unobserved state; freeing
-    them keeps capacity for new geometry. Returns (table, num_freed).
+    them keeps capacity for new geometry. Only the index re-sorts; freed
+    slots' data is zeroed lazily on reuse. Returns (table, num_freed).
     """
-    occupied = jnp.any(table.weight > 0.0, axis=(1, 2, 3))
-    live = occupied & (table.keys != INVALID_KEY)
-    freed = jnp.sum((table.keys != INVALID_KEY) & ~occupied)
-    keys = jnp.where(live, table.keys, INVALID_KEY)
-    order = jnp.argsort(keys)
-
-    def permute(x):
-        moved = x[order]
-        keep = live[order].reshape((-1,) + (1,) * (x.ndim - 1))
-        return jnp.where(keep, moved, jnp.zeros_like(moved))
-
+    occupied_slot = jnp.any(table.weight > 0.0, axis=(1, 2, 3))  # per data slot
+    live_slot = occupied_slot & (table.key_of_slot != INVALID_KEY)
+    freed = jnp.sum((table.key_of_slot != INVALID_KEY) & ~occupied_slot)
+    key_of_slot = jnp.where(live_slot, table.key_of_slot, INVALID_KEY)
+    # rewrite the sorted index from the reverse map (cheap [C] sort)
+    order = jnp.argsort(key_of_slot, stable=True)
     return (
-        BlockTable(
-            keys=keys[order],
-            sdf=permute(table.sdf),
-            weight=permute(table.weight),
-            color=permute(table.color),
+        table._replace(
+            keys=key_of_slot[order],
+            slot_of=order.astype(jnp.int32),
+            key_of_slot=key_of_slot,
         ),
         freed.astype(jnp.int32),
+    )
+
+
+def free_slots_by_mask(table: BlockTable, dead_slot_mask: jax.Array) -> BlockTable:
+    """Free an explicit set of data slots (used by the streaming layer)."""
+    key_of_slot = jnp.where(dead_slot_mask, INVALID_KEY, table.key_of_slot)
+    order = jnp.argsort(key_of_slot, stable=True)
+    # zero weights so occupancy scans can't see stale data
+    weight = jnp.where(dead_slot_mask[:, None, None, None], 0.0, table.weight)
+    return table._replace(
+        keys=key_of_slot[order],
+        slot_of=order.astype(jnp.int32),
+        key_of_slot=key_of_slot,
+        weight=weight,
     )
 
 
@@ -187,7 +224,7 @@ def sample_trilinear(
     """Trilinear TSDF/color sample at world points [..., 3].
 
     Returns (sdf [...], color [..., 3], valid [...]). Handles block-boundary
-    corners with 8 independent key lookups (the sorted-table analog of the
+    corners with 8 independent key lookups (the sorted-index analog of the
     reference's per-corner hash reads in ``RayCastSDFUtil.h``).
     """
     q = p / voxel_size - 0.5  # voxel-center grid coords
@@ -206,7 +243,7 @@ def sample_trilinear(
                 bc = jnp.floor_divide(vox, BLOCK)
                 local = vox - bc * BLOCK
                 key = pack_key(bc)
-                slot, found = lookup(table.keys, key)
+                slot, found = lookup(table, key)
                 s = table.sdf[slot, local[..., 2], local[..., 1], local[..., 0]]
                 w = table.weight[slot, local[..., 2], local[..., 1], local[..., 0]]
                 c = table.color[slot, local[..., 2], local[..., 1], local[..., 0]]

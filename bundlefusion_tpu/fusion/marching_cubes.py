@@ -76,7 +76,7 @@ _TET_TABLE = _build_tet_table()
 def _corner_sdf_for_blocks(table: BlockTable, slots: jax.Array, voxel_size: float):
     """For blocks at `slots` [B]: gather the 9x9x9 voxel-center SDF/weight/color
     corner grids (one extra layer from +1 neighbors via global lookups)."""
-    bc = unpack_key(table.keys[slots])  # [B, 3]
+    bc = unpack_key(table.key_of_slot[slots])  # [B, 3]
     g = jnp.arange(BLOCK + 1, dtype=jnp.int32)
     zz, yy, xx = jnp.meshgrid(g, g, g, indexing="ij")
     local = jnp.stack([xx, yy, zz], axis=-1)  # [9,9,9,3] (x,y,z channels)
@@ -85,7 +85,7 @@ def _corner_sdf_for_blocks(table: BlockTable, slots: jax.Array, voxel_size: floa
     nb_bc = jnp.floor_divide(vox, BLOCK)
     nb_local = vox - nb_bc * BLOCK
     key = pack_key(nb_bc)
-    slot, found = lookup(table.keys, key)
+    slot, found = lookup(table, key)
     lz, ly, lx = nb_local[..., 2], nb_local[..., 1], nb_local[..., 0]
     sdf = table.sdf[slot, lz, ly, lx]
     wgt = table.weight[slot, lz, ly, lx]
@@ -182,7 +182,7 @@ def extract_mesh(
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Mesh all occupied blocks, chunked (host loop) like the reference's
     chunked MC. Returns (vertices [V, 3], colors [V, 3], faces [F, 3])."""
-    keys = np.asarray(table.keys)
+    keys = np.asarray(table.key_of_slot)
     occupied = np.asarray(jnp.any(table.weight > 0, axis=(1, 2, 3))) & (keys != int(INVALID_KEY))
     slots_all = np.nonzero(occupied)[0].astype(np.int32)
     v_out, c_out = [], []

@@ -61,7 +61,7 @@ def raycast(
         t, entered = carry
         p = origin + dirs_n * t[..., None]
         key = pack_key(world_to_block(p.reshape(-1, 3), cfg.voxel_size))
-        _, found = lookup(table.keys, key)
+        _, found = lookup(table, key)
         found = found.reshape(h, w)
         entered = entered | found
         t = jnp.where(entered, t, jnp.minimum(t + block_step, t_max))

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import AppConfig
-from .blocks import BLOCK, INVALID_KEY, BlockTable, allocate, block_origin, lookup, unpack_key
+from .blocks import BLOCK, INVALID_KEY, BlockTable, allocate, block_origin, free_slots_by_mask, lookup, unpack_key
 
 
 class HostBlockStore:
@@ -49,11 +49,11 @@ class HostBlockStore:
         return np.asarray(hit, np.int32), sdf, wgt, col
 
 
-def _block_distance_to(table_keys: jax.Array, center: jax.Array, voxel_size: float) -> jax.Array:
-    coords = unpack_key(table_keys)
+def _block_distance_to(key_of_slot: jax.Array, center: jax.Array, voxel_size: float) -> jax.Array:
+    coords = unpack_key(key_of_slot)
     ctr = block_origin(coords, voxel_size) + 0.5 * BLOCK * voxel_size
     d = jnp.linalg.norm(ctr - center, axis=-1)
-    return jnp.where(table_keys != INVALID_KEY, d, 0.0)
+    return jnp.where(key_of_slot != INVALID_KEY, d, 0.0)
 
 
 def stream_out(
@@ -67,37 +67,23 @@ def stream_out(
 
     Returns (table with those slots freed+compacted, number streamed out).
     """
-    d = _block_distance_to(table.keys, jnp.asarray(camera_pos, jnp.float32), cfg.voxel_size)
+    d = _block_distance_to(table.key_of_slot, jnp.asarray(camera_pos, jnp.float32), cfg.voxel_size)
     occupied = jnp.any(table.weight > 0, axis=(1, 2, 3))
-    far = (d > cfg.streaming_radius) & occupied & (table.keys != INVALID_KEY)
+    far = (d > cfg.streaming_radius) & occupied & (table.key_of_slot != INVALID_KEY)
     score = jnp.where(far, d, -jnp.inf)
     top, idx = jax.lax.top_k(score, max_out)
     mask = np.asarray(jnp.isfinite(top))
     if not mask.any():
         return table, 0
-    idx_np = np.asarray(idx)[mask]
+    idx_np = np.asarray(idx)[mask]  # data slots to evict
     store.put(
-        np.asarray(table.keys)[idx_np],
+        np.asarray(table.key_of_slot)[idx_np],
         np.asarray(table.sdf)[idx_np],
         np.asarray(table.weight)[idx_np],
         np.asarray(table.color)[idx_np],
     )
-    # free the slots and re-sort (same machinery as GC)
-    keys = table.keys.at[jnp.asarray(idx_np)].set(INVALID_KEY)
-    live = keys != INVALID_KEY
-    order = jnp.argsort(keys)
-
-    def permute(x):
-        moved = x[order]
-        keep = live[order].reshape((-1,) + (1,) * (x.ndim - 1))
-        return jnp.where(keep, moved, jnp.zeros_like(moved))
-
-    table = BlockTable(
-        keys=keys[order],
-        sdf=permute(table.sdf),
-        weight=permute(table.weight),
-        color=permute(table.color),
-    )
+    dead = jnp.zeros(table.capacity, bool).at[jnp.asarray(idx_np)].set(True)
+    table = free_slots_by_mask(table, dead)
     return table, int(mask.sum())
 
 
@@ -119,7 +105,7 @@ def stream_in(
     if len(keys) == 0:
         return table, 0
     table, overflow = allocate(table, jnp.asarray(keys))
-    slots, found = lookup(table.keys, jnp.asarray(keys))
+    slots, found = lookup(table, jnp.asarray(keys))
     ok = np.asarray(found)
     s = jnp.asarray(slots)[jnp.asarray(ok)]
     table = table._replace(

@@ -48,18 +48,21 @@ def frame_alloc_keys(
     samples_per_ray: int = 3,
 ) -> jax.Array:
     """Packed block keys needing allocation for this frame (duplicated, fixed
-    size [H*W*samples + margin-dups]); feed to :func:`blocks.allocate`.
+    size); feed to :func:`blocks.allocate` (after dedup).
 
     The reference allocates every block intersecting the truncation band along
-    each depth ray; we sample the band at `samples_per_ray` points per pixel
-    plus the 8-neighborhood via corner offsets of a half-block jitter, which
-    covers the band at block granularity for truncation <~ block extent.
+    each depth ray; we sample the band at `samples_per_ray` points per pixel.
+    Pixels are subsampled by ``cfg.alloc_stride`` — a block's ~3 cm footprint
+    spans many pixels at sensor resolutions, so a stride loses nothing while
+    cutting the dedup-sort cost quadratically.
     """
-    pts_cam = unproject(cam, depth)  # [H, W, 3]
-    valid = (depth > 0) & (depth < cfg.max_integration_distance)
-    trunc = truncation_at(depth, cfg)
+    stride = max(int(cfg.alloc_stride), 1)
+    d = depth[::stride, ::stride]
+    pts_cam = unproject(cam, depth)[::stride, ::stride]  # [h, w, 3]
+    valid = (d > 0) & (d < cfg.max_integration_distance)
+    trunc = truncation_at(d, cfg)
     # unit ray direction in camera space
-    ray = pts_cam / jnp.maximum(depth[..., None], 1e-6)
+    ray = pts_cam / jnp.maximum(d[..., None], 1e-6)
     offs = jnp.linspace(-1.0, 1.0, samples_per_ray, dtype=jnp.float32)
     keys = []
     for o in offs:
@@ -82,14 +85,9 @@ def visible_blocks(
     Returns (slots [cap], mask [cap]) where cap = cfg.blocks_per_frame_cap;
     selection = block center inside the (slightly inflated) frustum.
     """
-    coords = jnp.stack(
-        [
-            (table.keys & 1023) - 512,
-            ((table.keys >> 10) & 1023) - 512,
-            ((table.keys >> 20) & 1023) - 512,
-        ],
-        axis=-1,
-    )
+    from .blocks import unpack_key
+
+    coords = unpack_key(table.key_of_slot)
     ctr = (coords.astype(jnp.float32) + 0.5) * (BLOCK * cfg.voxel_size)
     w2c = se3.mat_inverse(pose_c2w)
     p_cam = se3.transform_points(w2c, ctr)
@@ -104,7 +102,7 @@ def visible_blocks(
         & (u < cam.width + margin)
         & (v > -margin)
         & (v < cam.height + margin)
-        & (table.keys != INVALID_KEY)
+        & (table.key_of_slot != INVALID_KEY)
     )
     score = jnp.where(near, -p_cam[..., 2], -jnp.inf)  # prefer near blocks
     top, slots = jax.lax.top_k(score, cfg.blocks_per_frame_cap)
@@ -124,15 +122,10 @@ def _integrate_blocks(
 ) -> BlockTable:
     """Shared integrate/de-integrate body; weight_sign = +1 integrates,
     -1 exactly reverses a prior integration with the same pose/frame."""
+    from .blocks import unpack_key
+
     w2c = se3.mat_inverse(pose_c2w)
-    coords = jnp.stack(
-        [
-            (table.keys[slots] & 1023) - 512,
-            ((table.keys[slots] >> 10) & 1023) - 512,
-            ((table.keys[slots] >> 20) & 1023) - 512,
-        ],
-        axis=-1,
-    )
+    coords = unpack_key(table.key_of_slot[slots])
 
     def per_block(block_coord, active):
         ctrs = voxel_centers(block_coord, cfg.voxel_size)  # [8,8,8,3]
@@ -186,6 +179,7 @@ def _frame_update_set(
     pose_c2w: jax.Array,
     cam: CameraModel,
     cfg: AppConfig,
+    upd_keys: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """The block set a frame updates: its own truncation-band blocks.
 
@@ -196,11 +190,12 @@ def _frame_update_set(
     the reference's compactified visible list, breaks that exactness once a
     per-frame cap truncates it.) Returns (slots [cap], mask [cap]).
     """
-    keys = frame_alloc_keys(depth, pose_c2w, cam, cfg)
-    from .blocks import dedup_keys
+    if upd_keys is None:
+        from .blocks import dedup_keys
 
-    upd_keys = dedup_keys(keys, cfg.blocks_per_frame_cap)
-    slots, found = lookup(table.keys, upd_keys)
+        keys = frame_alloc_keys(depth, pose_c2w, cam, cfg)
+        upd_keys = dedup_keys(keys, cfg.blocks_per_frame_cap)
+    slots, found = lookup(table, upd_keys)
     return slots, found
 
 
@@ -214,12 +209,57 @@ def integrate(
     cfg: AppConfig,
 ) -> tuple[BlockTable, jax.Array]:
     """Allocate + integrate one frame. Returns (table, alloc overflow count)."""
-    from .blocks import allocate
+    from .blocks import allocate, dedup_keys
 
     keys = frame_alloc_keys(depth, pose_c2w, cam, cfg)
-    table, overflow = allocate(table, keys)
-    slots, mask = _frame_update_set(table, depth, pose_c2w, cam, cfg)
+    # dedup to the per-frame cap BEFORE the table merge: the merge argsort then
+    # runs on [C + cap] instead of [C + H*W*samples]
+    upd_keys = dedup_keys(keys, cfg.blocks_per_frame_cap)
+    table, overflow = allocate(table, upd_keys)
+    slots, mask = _frame_update_set(table, depth, pose_c2w, cam, cfg, upd_keys)
     table = _integrate_blocks(slots, mask, table, depth, color, pose_c2w, cam, cfg, +1.0)
+    return table, overflow
+
+
+@functools.partial(jax.jit, static_argnames=("cam", "cfg"))
+def integrate_batch(
+    table: BlockTable,
+    depths: jax.Array,  # [B, H, W]
+    colors: jax.Array,  # [B, H, W, 3]
+    poses: jax.Array,  # [B, 4, 4]
+    valid: jax.Array,  # [B] bool — skip invalid frames
+    cam: CameraModel,
+    cfg: AppConfig,
+) -> tuple[BlockTable, jax.Array]:
+    """Integrate a whole frame batch in ONE device program (lax.scan over
+    frames) — one dispatch per chunk instead of one per frame, which matters
+    when host<->device latency is nontrivial. Returns (table, overflow sum)."""
+    from .blocks import allocate
+
+    def step(carry, inp):
+        table, overflow = carry
+        depth, color, pose, ok = inp
+
+        def do(table):
+            from .blocks import dedup_keys
+
+            keys = frame_alloc_keys(depth, pose, cam, cfg)
+            upd_keys = dedup_keys(keys, cfg.blocks_per_frame_cap)
+            table, ov = allocate(table, upd_keys)
+            slots, mask = _frame_update_set(table, depth, pose, cam, cfg, upd_keys)
+            table = _integrate_blocks(
+                slots, mask, table, depth, color, pose, cam, cfg, +1.0
+            )
+            return table, ov
+
+        new_table, ov = jax.lax.cond(
+            ok, do, lambda t: (t, jnp.int32(0)), table
+        )
+        return (new_table, overflow + ov), None
+
+    (table, overflow), _ = jax.lax.scan(
+        step, (table, jnp.int32(0)), (depths, colors, poses, valid)
+    )
     return table, overflow
 
 
@@ -236,3 +276,28 @@ def deintegrate(
     was integrated with). No allocation: blocks must already exist."""
     slots, mask = _frame_update_set(table, depth, pose_c2w, cam, cfg)
     return _integrate_blocks(slots, mask, table, depth, color, pose_c2w, cam, cfg, -1.0)
+
+
+@functools.partial(jax.jit, static_argnames=("cam", "cfg"))
+def deintegrate_batch(
+    table: BlockTable,
+    depths: jax.Array,  # [B, H, W]
+    colors: jax.Array,  # [B, H, W, 3]
+    poses: jax.Array,  # [B, 4, 4] — the poses the frames were integrated with
+    valid: jax.Array,  # [B] bool
+    cam: CameraModel,
+    cfg: AppConfig,
+) -> BlockTable:
+    """Batched exact removal (scan over frames; one dispatch per batch)."""
+
+    def step(table, inp):
+        depth, color, pose, ok = inp
+
+        def do(t):
+            slots, mask = _frame_update_set(t, depth, pose, cam, cfg)
+            return _integrate_blocks(slots, mask, t, depth, color, pose, cam, cfg, -1.0)
+
+        return jax.lax.cond(ok, do, lambda t: t, table), None
+
+    table, _ = jax.lax.scan(step, table, (depths, colors, poses, valid))
+    return table

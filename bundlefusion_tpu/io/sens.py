@@ -99,16 +99,20 @@ def iter_frames(path: str) -> Iterator[tuple[SensHeader, SensFrame]]:
 
 
 def decode_depth(header: SensHeader, frame: SensFrame) -> np.ndarray:
-    """Decode depth to float32 meters [H, W]."""
+    """Decode depth to float32 meters [H, W] (native codec when built)."""
+    from . import native
+
     h, w = header.depth_height, header.depth_width
     if header.depth_compression == "zlib_ushort":
-        raw = zlib.decompress(frame.depth_bytes)
+        raw = native.inflate(frame.depth_bytes, h * w * 2)
+        d = np.frombuffer(raw, dtype="<u2").reshape(h, w)
     elif header.depth_compression == "raw_ushort":
-        raw = frame.depth_bytes
+        d = np.frombuffer(frame.depth_bytes, dtype="<u2").reshape(h, w)
+    elif header.depth_compression == "occi_ushort":  # RVL (ScanNet v2 style)
+        d = native.rvl_decode(frame.depth_bytes, h * w).reshape(h, w)
     else:
         raise NotImplementedError(header.depth_compression)
-    d = np.frombuffer(raw, dtype="<u2").reshape(h, w).astype(np.float32)
-    return d / header.depth_shift
+    return d.astype(np.float32) / header.depth_shift
 
 
 def decode_color(header: SensHeader, frame: SensFrame) -> np.ndarray:

@@ -275,6 +275,41 @@ def bilinear_sample(img: jax.Array, uv: jax.Array) -> tuple[jax.Array, jax.Array
     return val, inb
 
 
+def bilinear_sample_matmul(img: jax.Array, uv: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Bilinear sampling of [H, W, C] at uv [D, 2] as two MXU matmuls.
+
+    Mathematically identical to :func:`bilinear_sample` (with border clamp),
+    but expressed as separable 1-D tent-weight contractions:
+
+        val[d] = sum_h sum_w tent(v_d - h) tent(u_d - w) I[h, w]
+               = (Tv @ I)[d] . Tu[d]      with Tv [D, H], Tu [D, W]
+
+    On TPU this replaces a serialized dynamic gather with dense matmul work —
+    the projective-association inner loop of the dense BA term and the dense
+    verify filter are built on it (SURVEY.md §2.1 "BA kernels": 'projective
+    data association ... via warp reductions' becomes MXU contractions).
+    Cost: D*H*W MACs per channel — tiny against the MXU at cache resolutions.
+    """
+    h, w = img.shape[0], img.shape[1]
+    squeeze = img.ndim == 2
+    if squeeze:
+        img = img[..., None]
+    u = uv[..., 0]
+    v = uv[..., 1]
+    inb = (u >= 0.0) & (u < w - 1.0 + 1e-4) & (v >= 0.0) & (v < h - 1.0 + 1e-4)
+    uc = jnp.clip(u, 0.0, w - 1.001)
+    vc = jnp.clip(v, 0.0, h - 1.001)
+    hh = jnp.arange(h, dtype=img.dtype)
+    ww = jnp.arange(w, dtype=img.dtype)
+    tv = jnp.maximum(0.0, 1.0 - jnp.abs(vc[:, None] - hh[None, :]))  # [D, H]
+    tu = jnp.maximum(0.0, 1.0 - jnp.abs(uc[:, None] - ww[None, :]))  # [D, W]
+    tmp = jnp.einsum("dh,hwc->dwc", tv, img)  # [D, W, C]
+    val = jnp.einsum("dwc,dw->dc", tmp, tu)  # [D, C]
+    if squeeze:
+        val = val[..., 0]
+    return val, inb
+
+
 def nearest_sample(img: jax.Array, uv: jax.Array) -> tuple[jax.Array, jax.Array]:
     """Nearest-neighbor sample of [H, W(, C)] at uv [..., 2] -> (values, mask)."""
     h, w = img.shape[0], img.shape[1]

@@ -154,16 +154,29 @@ def solve_and_prune(
     prune_rounds: int = 1,
 ) -> tuple[jax.Array, GNProblem, SolveStats, jax.Array]:
     """solve -> prune -> (resolve) loop, as the reference runs per chunk/global
-    step. Returns (poses, updated problem, stats, total_removed)."""
-    total_removed = jnp.int32(0)
-    stats = None
-    for _ in range(prune_rounds):
+    step. Returns (poses, updated problem, stats, total_removed).
+
+    The round loop is a `lax.scan` over the correspondence weights so the
+    (large) solve graph is traced once regardless of `prune_rounds`.
+    """
+
+    def round_body(carry, _):
+        poses, weight, removed_acc = carry
+        prob = problem._replace(corrs=problem.corrs._replace(weight=weight))
         poses, stats = solve_gn(
-            poses, problem, caches, cache_cam, cfg, gn_iters, pcg_iters, use_dense
+            poses, prob, caches, cache_cam, cfg, gn_iters, pcg_iters, use_dense
         )
         corrs, removed = prune_max_residuals(
-            problem.corrs, stats.final_res_norms, cfg.max_res_thresh, cfg.prune_iters
+            prob.corrs, stats.final_res_norms, cfg.max_res_thresh, cfg.prune_iters
         )
-        problem = problem._replace(corrs=corrs)
-        total_removed = total_removed + removed
+        return (poses, corrs.weight, removed_acc + removed), stats
+
+    (poses, weight, total_removed), stats_seq = jax.lax.scan(
+        round_body,
+        (poses, problem.corrs.weight, jnp.int32(0)),
+        None,
+        length=prune_rounds,
+    )
+    problem = problem._replace(corrs=problem.corrs._replace(weight=weight))
+    stats = jax.tree.map(lambda x: x[-1], stats_seq)
     return poses, problem, stats, total_removed

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from ..config import BundlingConfig
 from ..geometry import se3
 from ..geometry.camera import CameraModel, project
-from ..ops.preprocess import FrameCache, bilinear_sample
+from ..ops.preprocess import FrameCache, bilinear_sample_matmul
 
 
 class SparseCorrs(NamedTuple):
@@ -146,12 +146,23 @@ def _dense_pair_system(
     p_in_b = se3.transform_points(Tb_inv, p_aw)  # b-camera
     uv, proj_ok = project(cam, p_in_b)
 
-    # --- samples from b ---
-    q_b, inb = bilinear_sample(cache_b.points, uv)  # b-camera points
-    n_b, _ = bilinear_sample(cache_b.normals, uv)
-    i_b, _ = bilinear_sample(cache_b.intensity, uv)
-    g_b, _ = bilinear_sample(cache_b.grad, uv)  # [M, 2] (gx, gy)
-    d_b, _ = bilinear_sample(cache_b.depth, uv)
+    # --- samples from b: all 10 channels in ONE separable matmul gather ---
+    stack_b = jnp.concatenate(
+        [
+            cache_b.points,
+            cache_b.normals,
+            cache_b.intensity[..., None],
+            cache_b.grad,
+            cache_b.depth[..., None],
+        ],
+        axis=-1,
+    )  # [h, w, 10]
+    samp, inb = bilinear_sample_matmul(stack_b, uv)
+    q_b = samp[:, 0:3]  # b-camera points
+    n_b = samp[:, 3:6]
+    i_b = samp[:, 6]
+    g_b = samp[:, 7:9]  # (gx, gy)
+    d_b = samp[:, 9]
 
     n_b_norm = jnp.linalg.norm(n_b, axis=-1, keepdims=True)
     n_b = n_b / jnp.maximum(n_b_norm, 1e-9)

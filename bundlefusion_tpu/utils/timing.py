@@ -24,7 +24,9 @@ class TimingLog:
         self.maxes: dict[str, float] = defaultdict(float)
 
     @contextlib.contextmanager
-    def stage(self, name: str, block_on=None):
+    def stage(self, name: str, block_on=None, block=None):
+        """block_on: pytree to wait for; block: thunk evaluated at stage end
+        returning the pytree to wait for (for values produced in the stage)."""
         if not self.enabled:
             yield
             return
@@ -32,7 +34,9 @@ class TimingLog:
         try:
             yield
         finally:
-            if block_on is not None:
+            if block is not None:
+                jax.block_until_ready(block())
+            elif block_on is not None:
                 jax.block_until_ready(block_on)
             dt = time.perf_counter() - t0
             self.totals[name] += dt

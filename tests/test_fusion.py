@@ -39,10 +39,10 @@ def test_allocate_and_lookup(rng):
     assert int(overflow) == 0
     uniq = np.unique(np.asarray(keys))
     assert int(table.num_active()) == len(uniq)
-    slot, found = blocks.lookup(table.keys, keys)
+    slot, found = blocks.lookup(table, keys)
     assert np.asarray(found).all()
     # unknown key not found
-    _, f2 = blocks.lookup(table.keys, blocks.pack_key(jnp.asarray([[400, 400, 400]], jnp.int32)))
+    _, f2 = blocks.lookup(table, blocks.pack_key(jnp.asarray([[400, 400, 400]], jnp.int32)))
     assert not bool(f2[0])
 
 
@@ -50,12 +50,12 @@ def test_allocate_preserves_data(rng):
     table = blocks.make_table(256)
     k1 = blocks.pack_key(jnp.asarray([[1, 2, 3]], jnp.int32))
     table, _ = blocks.allocate(table, k1)
-    slot, _ = blocks.lookup(table.keys, k1)
+    slot, _ = blocks.lookup(table, k1)
     table = table._replace(sdf=table.sdf.at[slot[0]].set(0.5), weight=table.weight.at[slot[0]].set(2.0))
     # allocate more blocks; original data must survive the permutation
     k2 = blocks.pack_key(jnp.asarray(rng.integers(-5, 0, size=(32, 3)), jnp.int32))
     table, _ = blocks.allocate(table, k2)
-    slot2, found = blocks.lookup(table.keys, k1)
+    slot2, found = blocks.lookup(table, k1)
     assert bool(found[0])
     assert float(table.sdf[slot2[0], 0, 0, 0]) == 0.5
     assert float(table.weight[slot2[0], 0, 0, 0]) == 2.0
@@ -74,11 +74,11 @@ def test_garbage_collect():
     table = blocks.make_table(64)
     keys = blocks.pack_key(jnp.asarray(np.arange(30)[:, None].repeat(3, 1).astype(np.int32)))
     table, _ = blocks.allocate(table, keys)
-    # give weight to half of them
+    # give weight to half of them (address by DATA slot via lookup)
+    slots, found = blocks.lookup(table, keys)
     w = np.array(table.weight)
-    live_keys = np.asarray(table.keys)
     for i in range(0, 30, 2):
-        w[i, 0, 0, 0] = 1.0
+        w[int(slots[i]), 0, 0, 0] = 1.0
     table = table._replace(weight=jnp.asarray(w))
     table, freed = blocks.garbage_collect(table)
     assert int(freed) == 15
@@ -203,11 +203,11 @@ def _make_sphere_table(radius=0.3, center=(0.0, 0.0, 0.0), voxel=0.02):
     table, overflow = blocks.allocate(table, blocks.pack_key(jnp.asarray(coords)))
     assert int(overflow) == 0
     ctr = jnp.asarray(center, jnp.float32)
-    # fill voxels
-    bc = blocks.unpack_key(table.keys)
+    # fill voxels (data arrays are indexed by DATA slot -> use key_of_slot)
+    bc = blocks.unpack_key(table.key_of_slot)
     centers = jax.vmap(lambda b: blocks.voxel_centers(b, voxel))(bc)  # [C,8,8,8,3]
     sdf = jnp.linalg.norm(centers - ctr, axis=-1) - radius
-    active = (table.keys != blocks.INVALID_KEY)[:, None, None, None]
+    active = (table.key_of_slot != blocks.INVALID_KEY)[:, None, None, None]
     near = jnp.abs(sdf) < 0.08
     w = jnp.where(active & near, 1.0, 0.0)
     table = table._replace(

@@ -1,0 +1,99 @@
+"""Tests for the native .sens codec (C++ via ctypes, with Python fallback)."""
+
+import numpy as np
+import pytest
+
+from bundlefusion_tpu.io import native
+
+
+def _depth_like(rng, n=64 * 48):
+    """Realistic depth: runs of zeros (invalid) + smooth nonzero spans."""
+    d = (rng.uniform(500, 4000, size=n)).astype(np.uint16)
+    mask = rng.random(n) < 0.25
+    # zero out a few runs
+    for start in rng.integers(0, n - 50, size=8):
+        d[start : start + int(rng.integers(5, 50))] = 0
+    d[mask] = d[mask]  # keep
+    return d
+
+
+def test_native_builds():
+    assert native.have_native(), "C++ sensio library should build on this image"
+
+
+def test_rvl_roundtrip_native(rng):
+    d = _depth_like(rng)
+    enc = native.rvl_encode(d)
+    dec = native.rvl_decode(enc, d.size)
+    np.testing.assert_array_equal(dec, d)
+    assert len(enc) < d.size * 2  # compresses vs raw
+
+
+def test_rvl_python_fallback_matches_native(rng):
+    d = _depth_like(rng, n=1024)
+    enc_native = native.rvl_encode(d)
+    enc_py = native._rvl_encode_py(d)
+    assert enc_native == enc_py, "bitstream must match across implementations"
+    dec_py = native._rvl_decode_py(enc_native, d.size)
+    np.testing.assert_array_equal(dec_py, d)
+
+
+def test_rvl_all_zero_and_all_nonzero(rng):
+    z = np.zeros(256, np.uint16)
+    np.testing.assert_array_equal(native.rvl_decode(native.rvl_encode(z), 256), z)
+    nz = rng.integers(1, 65535, size=256).astype(np.uint16)
+    np.testing.assert_array_equal(native.rvl_decode(native.rvl_encode(nz), 256), nz)
+
+
+def test_rvl_corrupt_raises():
+    with pytest.raises(ValueError):
+        native.rvl_decode(b"\xff\xff\xff\xff" * 2, 1 << 16)
+
+
+def test_zlib_roundtrip(rng):
+    data = rng.integers(0, 255, size=10000).astype(np.uint8).tobytes()
+    comp = native.deflate(data)
+    out = native.inflate(comp, len(data))
+    assert out == data
+
+
+def test_sens_rvl_depth_path(tmp_path, rng):
+    """A .sens written with RVL depth decodes through the reader."""
+    import struct
+
+    from bundlefusion_tpu.geometry.camera import CameraModel
+    from bundlefusion_tpu.io import sens
+
+    h, w = 24, 32
+    depth_m = rng.uniform(0.5, 3.0, size=(2, h, w)).astype(np.float32)
+    cam = CameraModel.create(30, 30, 15.5, 11.5, w, h)
+    path = str(tmp_path / "rvl.sens")
+    # write with zlib then patch compression type + payload to RVL
+    sens.write_sens(path, depth_m, np.zeros((2, h, w, 3), np.float32), np.tile(np.eye(4, dtype=np.float32), (2, 1, 1)), cam)
+    frames = list(sens.iter_frames(path))
+    with open(path, "wb") as f:
+        f.write(struct.pack("<I", 4))
+        name = b"x"
+        f.write(struct.pack("<Q", len(name)))
+        f.write(name)
+        intr = np.eye(4, dtype="<f4")
+        intr[0, 0] = intr[1, 1] = 30
+        intr[0, 2], intr[1, 2] = 15.5, 11.5
+        for _ in range(2):
+            f.write(intr.tobytes())
+            f.write(np.eye(4, dtype="<f4").tobytes())
+        f.write(struct.pack("<II", 0, 2))  # raw color, occi (RVL) depth
+        f.write(struct.pack("<IIII", w, h, w, h))
+        f.write(struct.pack("<f", 1000.0))
+        f.write(struct.pack("<Q", 2))
+        for _, fr in frames:
+            f.write(np.asarray(fr.camera_to_world, dtype="<f4").tobytes())
+            f.write(struct.pack("<QQ", fr.timestamp_color, fr.timestamp_depth))
+            dshort = (depth_m[0] * 1000).astype(np.uint16)  # frame 0 content
+            rvl = native.rvl_encode(dshort)
+            f.write(struct.pack("<QQ", len(fr.color_bytes), len(rvl)))
+            f.write(fr.color_bytes)
+            f.write(rvl)
+    hdr_frames = list(sens.iter_frames(path))
+    d = sens.decode_depth(hdr_frames[0][0], hdr_frames[0][1])
+    np.testing.assert_allclose(d, depth_m[0], atol=1e-3)
