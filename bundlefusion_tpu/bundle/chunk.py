@@ -118,8 +118,17 @@ def process_chunk(
     sigma_d: float = 2.0,
     sigma_r: float = 0.1,
 ) -> ChunkResult:
-    """The whole local pipeline for one chunk as a single XLA program."""
+    """The whole local pipeline for one chunk as a single XLA program.
+
+    Accepts f32 (meters / [0,1]) or compact wire formats — uint16 depth in mm,
+    uint8 color — which quarter the host->device transfer; conversion happens
+    on device.
+    """
     s1 = depth_raw.shape[0]
+    if depth_raw.dtype == jnp.uint16:
+        depth_raw = depth_raw.astype(jnp.float32) * 1e-3
+    if color.dtype == jnp.uint8:
+        color = color.astype(jnp.float32) * (1.0 / 255.0)
     frames, cache = preprocess_frames(
         depth_raw, color, cam, cache_cam, sigma_d=sigma_d, sigma_r=sigma_r
     )

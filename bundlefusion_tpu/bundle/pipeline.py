@@ -166,8 +166,15 @@ class BundleFusion:
     # ------------------------------------------------------------------
 
     def push_frame(self, depth: np.ndarray, color: np.ndarray) -> None:
-        """Feed one frame; chunks are processed as soon as complete."""
-        self._pending.append((depth, color))
+        """Feed one frame; chunks are processed as soon as complete.
+
+        Frames are held (and shipped to the device) in the sensor's compact
+        wire format — uint16 depth in mm, uint8 color — quartering the
+        host->device traffic; the chunk program converts on device.
+        """
+        d16 = (np.clip(depth, 0.0, 65.0) * 1000.0).astype(np.uint16)
+        c8 = (np.clip(color, 0.0, 1.0) * 255.0).astype(np.uint8)
+        self._pending.append((d16, c8))
         self._maybe_process_chunk()
 
     def push_batch(self, depth: np.ndarray, color: np.ndarray, valid=None) -> None:
