@@ -91,3 +91,44 @@ def test_multiseq_chunk_matches_serial():
             np.asarray(trajs[d]), np.asarray(res.local_traj), atol=1e-4
         )
         assert bool(valid[d]) == bool(res.chunk_valid)
+
+
+@pytest.mark.slow
+def test_timeshard_chunks_match_serial():
+    """8 chunks of one sequence processed in parallel (ppermute halo for the
+    overlap frame) == the serial chunk-by-chunk results; chained keyframe
+    poses track ground truth."""
+    from bundlefusion_tpu.bundle.chunk import process_chunk
+    from bundlefusion_tpu.eval.ate import ate_rmse
+    from bundlefusion_tpu.parallel import timeshard
+
+    S, D = 4, 8
+    seq = cached_sequence(D * S + 1, width=64, height=48, radius=0.3)
+    cam = seq.camera
+    cache_cam = cam.scaled(16, 12)
+    m = mesh_mod.make_mesh(D)
+    fn = timeshard.make_timeshard_chunk_fn(m, cam, cache_cam, CFG)
+    depth = jnp.asarray(seq.depth[: D * S])
+    color = jnp.asarray(seq.color[: D * S])
+    trajs, valid, kkeys, kcaches = fn(
+        depth, color, jnp.asarray(seq.depth[D * S]), jnp.asarray(seq.color[D * S])
+    )
+    assert trajs.shape == (D, S + 1, 4, 4)
+    assert kkeys.valid.shape[0] == D
+    # spot-check equivalence with the serial program
+    for d in (0, 3, 7):
+        ref = process_chunk(
+            jnp.asarray(seq.depth[d * S : d * S + S + 1]),
+            jnp.asarray(seq.color[d * S : d * S + S + 1]),
+            cam, cache_cam, CFG,
+        )
+        np.testing.assert_allclose(
+            np.asarray(trajs[d]), np.asarray(ref.local_traj), atol=1e-4
+        )
+    # chained keyframe poses vs ground truth
+    kf_poses = timeshard.chain_keyframe_poses(np.asarray(trajs), seq.poses[0])
+    gt_kf = seq.poses[::S][:D]
+    ate = ate_rmse(kf_poses, gt_kf)
+    # raw chained odometry at 64x48 drifts (no global BA in this test); the
+    # equivalence spot-checks above are the real gate
+    assert ate < 0.2, f"time-sharded keyframe ATE {ate*100:.1f} cm"
