@@ -127,27 +127,53 @@ def _integrate_blocks(
     w2c = se3.mat_inverse(pose_c2w)
     coords = unpack_key(table.key_of_slot[slots])
 
+    # depth+color packed as one [H, W, 4] stack; each block reads a PxP patch
+    # (slice-gather) and samples its 512 voxels with one-hot matmuls inside
+    # the patch — MXU work instead of millions of random image gathers.
+    P = 128
+    img = jnp.concatenate([depth[..., None], color], axis=-1)  # [H, W, 4]
+    img = jnp.pad(img, ((0, P), (0, P), (0, 0)))  # slices never clamp
+
     def per_block(block_coord, active):
         ctrs = voxel_centers(block_coord, cfg.voxel_size)  # [8,8,8,3]
-        p_cam = se3.transform_points(w2c, ctrs.reshape(-1, 3)).reshape(BLOCK, BLOCK, BLOCK, 3)
+        p_cam = se3.transform_points(w2c, ctrs.reshape(-1, 3))  # [512, 3]
         uv, ok = project(cam, p_cam)
         ui = jnp.clip(jnp.round(uv[..., 0]).astype(jnp.int32), 0, cam.width - 1)
         vi = jnp.clip(jnp.round(uv[..., 1]).astype(jnp.int32), 0, cam.height - 1)
-        d = depth[vi, ui]
-        c = color[vi, ui]
+        u0 = jnp.clip(jnp.min(ui), 0, cam.width - 1)
+        v0 = jnp.clip(jnp.min(vi), 0, cam.height - 1)
+        patch = jax.lax.dynamic_slice(img, (v0, u0, 0), (P, P, 4))  # [P, P, 4]
+        lu = ui - u0
+        lv = vi - v0
+        in_win = (lu >= 0) & (lu < P) & (lv >= 0) & (lv < P)
+        luc = jnp.clip(lu, 0, P - 1)
+        lvc = jnp.clip(lv, 0, P - 1)
+        grid = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
+        oh_v = (lvc[:, None] == grid).astype(jnp.float32)  # [512, P]
+        oh_u = (luc[:, None] == grid).astype(jnp.float32)
+        tmp = jnp.einsum("kp,pqc->kqc", oh_v, patch)  # [512, P, 4]
+        samp = jnp.einsum("kqc,kq->kc", tmp, oh_u)  # [512, 4]
+        d = samp[:, 0]
+        c = samp[:, 1:4]
         z = p_cam[..., 2]
         trunc = truncation_at(d, cfg)
         sdf_val = d - z  # positive in front of surface
         upd_ok = (
             active
             & ok
+            & in_win
             & (d > 0)
             & (d < cfg.max_integration_distance)
             & (sdf_val > -trunc)
         )
         sdf_clamped = jnp.clip(sdf_val, -trunc, trunc)
         dw = jnp.where(upd_ok, cfg.integration_weight_sample * weight_sign, 0.0)
-        return sdf_clamped, dw, c
+        shape3 = (BLOCK, BLOCK, BLOCK)
+        return (
+            sdf_clamped.reshape(shape3),
+            dw.reshape(shape3),
+            c.reshape(shape3 + (3,)),
+        )
 
     sdf_new, dw, c_new = jax.vmap(per_block)(coords, mask)
 
