@@ -3,12 +3,13 @@
 Rebuild of ``CUDARayCastSDF.cu`` + ``RayCastSDFUtil.h`` (SURVEY.md §2.1
 "Raycaster", §3.2 hot loop 2). The reference bounds each ray with a DX11
 rasterization of block AABBs ("ray interval splatting"); a graphics API has no
-TPU analog, so rays here march with a two-phase scheme instead:
+TPU analog, so the same bounds come from compute:
 
-  phase 1 (coarse): step at ~block granularity testing only block *existence*
-    (one sorted-key lookup per step) to find the entry into allocated space;
-  phase 2 (fine): step at a fraction of the truncation with trilinear TSDF
-    sampling, detect the +/- zero crossing, and refine by linear interpolation.
+  phase 1 (splat): scatter-min/max every block's projected depth interval into
+    a coarse pixel-tile grid (:func:`splat_intervals`);
+  phase 2 (fine): march only inside the tile's [near, far] at a fraction of
+    the truncation with trilinear TSDF sampling, detect the +/- zero crossing,
+    and refine by linear interpolation.
 
 Everything is a fixed-iteration `fori_loop` over masked lanes — divergence
 becomes predication, which is what the VPU wants.
@@ -24,8 +25,8 @@ import jax.numpy as jnp
 
 from ..config import AppConfig
 from ..geometry import se3
-from ..geometry.camera import CameraModel
-from .blocks import BLOCK, BlockTable, lookup, pack_key, sample_trilinear, world_to_block
+from ..geometry.camera import CameraModel, project
+from .blocks import BLOCK, INVALID_KEY, BlockTable, sample_trilinear
 
 
 class RaycastResult(NamedTuple):
@@ -33,6 +34,65 @@ class RaycastResult(NamedTuple):
     normal: jax.Array  # [H, W, 3]
     color: jax.Array  # [H, W, 3]
     hit: jax.Array  # [H, W] bool
+
+
+def splat_intervals(
+    table: BlockTable,
+    pose_c2w: jax.Array,
+    cam: CameraModel,
+    cfg: AppConfig,
+    tile: int = 16,
+) -> tuple[jax.Array, jax.Array]:
+    """Per-tile ray interval bounds from block AABB projection.
+
+    The compute-only replacement for the reference's DX11 ray-interval
+    splatting (``DX11RayIntervalSplatting`` + HLSL shaders — the one
+    CUDA<->graphics interop in its hot path): project every active block's
+    bounding sphere, scatter-min/max camera depth into a [H/tile, W/tile]
+    grid. Rays then march only inside [near, far] of their tile.
+
+    Returns (near [th, tw], far [th, tw]) in camera-z; far==0 marks empty.
+    """
+    from .blocks import unpack_key
+
+    th = -(-cam.height // tile)
+    tw = -(-cam.width // tile)
+    coords = unpack_key(table.key_of_slot)
+    ext = BLOCK * cfg.voxel_size
+    ctr = (coords.astype(jnp.float32) + 0.5) * ext
+    w2c = se3.mat_inverse(pose_c2w)
+    p_cam = se3.transform_points(w2c, ctr)  # [C, 3]
+    z = p_cam[:, 2]
+    rad = 0.5 * ext * jnp.sqrt(3.0)
+    act = (table.key_of_slot != INVALID_KEY) & (z > rad)
+    zs = jnp.where(act, z, 1.0)
+    uv, _ = project(cam, p_cam)
+    # projected radius in pixels (conservative)
+    pr = rad * cam.fx / zs
+    u0 = jnp.clip(((uv[:, 0] - pr) / tile).astype(jnp.int32), 0, tw - 1)
+    u1 = jnp.clip(((uv[:, 0] + pr) / tile).astype(jnp.int32), 0, tw - 1)
+    v0 = jnp.clip(((uv[:, 1] - pr) / tile).astype(jnp.int32), 0, th - 1)
+    v1 = jnp.clip(((uv[:, 1] + pr) / tile).astype(jnp.int32), 0, th - 1)
+    on_screen = act & (uv[:, 0] + pr > 0) & (uv[:, 0] - pr < cam.width) & (
+        uv[:, 1] + pr > 0
+    ) & (uv[:, 1] - pr < cam.height)
+
+    near = jnp.full((th, tw), jnp.inf, jnp.float32)
+    far = jnp.zeros((th, tw), jnp.float32)
+    # blocks span few tiles; bounded unrolled scatter over the covered window
+    max_span = 4
+    sentinel = th * tw
+    for dv in range(max_span):
+        for du in range(max_span):
+            tu = jnp.minimum(u0 + du, u1)
+            tv = jnp.minimum(v0 + dv, v1)
+            flat = jnp.where(
+                on_screen & (u0 + du <= u1) & (v0 + dv <= v1), tv * tw + tu, sentinel
+            )
+            near = near.reshape(-1).at[flat].min(z - rad, mode="drop").reshape(th, tw)
+            far = far.reshape(-1).at[flat].max(z + rad, mode="drop").reshape(th, tw)
+    near = jnp.where(jnp.isfinite(near), jnp.maximum(near, cfg.depth_min), 0.0)
+    return near, far
 
 
 @functools.partial(jax.jit, static_argnames=("cam", "cfg"))
@@ -53,25 +113,20 @@ def raycast(
     dirs_n = dirs * inv_norm
 
     t_min = cfg.depth_min
-    t_max = cfg.max_integration_distance * 1.2
     block_step = BLOCK * cfg.voxel_size * 0.8
 
-    # --- phase 1: coarse march to allocated space ---
-    def coarse(_, carry):
-        t, entered = carry
-        p = origin + dirs_n * t[..., None]
-        key = pack_key(world_to_block(p.reshape(-1, 3), cfg.voxel_size))
-        _, found = lookup(table, key)
-        found = found.reshape(h, w)
-        entered = entered | found
-        t = jnp.where(entered, t, jnp.minimum(t + block_step, t_max))
-        return t, entered
-
-    n_coarse = int((t_max - t_min) / block_step) + 2
-    t0 = jnp.full((h, w), t_min, jnp.float32)
-    t, entered = jax.lax.fori_loop(0, n_coarse, coarse, (t0, jnp.zeros((h, w), bool)))
-    # back off one block so the fine phase straddles the boundary
-    t = jnp.where(entered, jnp.maximum(t - block_step, t_min), t)
+    # --- phase 1: per-tile ray intervals from block AABB splatting (the
+    # compute-only stand-in for the reference's DX11 interval rasterization) ---
+    tile = 16
+    near, far = splat_intervals(table, pose_c2w, cam, cfg, tile=tile)
+    tv = (v / tile).astype(jnp.int32)
+    tu = (u / tile).astype(jnp.int32)
+    near_px = near[tv, tu]  # camera-z bounds per pixel
+    far_px = far[tv, tu]
+    ray_scale = 1.0 / inv_norm[..., 0]  # t (unit-ray dist) = z * |dirs_cam|
+    t = jnp.maximum(near_px * ray_scale - block_step, t_min)
+    t_far = far_px * ray_scale + block_step
+    empty = far_px <= 0.0
 
     # --- phase 2: fine march with trilinear TSDF, find zero crossing ---
     fine_step = cfg.truncation * cfg.raycast_step_scale
@@ -81,7 +136,7 @@ def raycast(
         p = (origin + dirs_n * t[..., None]).reshape(-1, 3)
         sdf, _, valid = sample_trilinear(table, p, cfg.voxel_size)
         sdf = sdf.reshape(h, w)
-        valid = valid.reshape(h, w)
+        valid = valid.reshape(h, w) & ~empty & (t <= t_far)
         crossing = valid & jnp.isfinite(prev_sdf) & (prev_sdf > 0) & (sdf <= 0) & ~hit
         # linear interpolation of the crossing point
         denom = prev_sdf - sdf
@@ -95,7 +150,8 @@ def raycast(
         step = jnp.where(valid, jnp.minimum(step, fine_step), fine_step)
         prev_sdf = jnp.where(valid, sdf, prev_sdf)
         prev_t = jnp.where(valid, t, prev_t)
-        t = jnp.where(hit, t, t + step)
+        done = hit | empty | (t > t_far)
+        t = jnp.where(done, t, t + step)
         return t, prev_sdf, prev_t, hit_t, hit
 
     init = (
