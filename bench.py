@@ -68,7 +68,7 @@ def main() -> None:
     seq = generate_sequence(num_frames, width=width, height=height, radius=0.5)
 
     # pass 1: warm every program in the pipeline (compiles cached persistently)
-    bf = BundleFusion(seq.camera, cfg, anchor_pose=seq.poses[0])
+    bf = BundleFusion(seq.camera, cfg, anchor_pose=seq.poses[0], profile=True)
     for i in range(num_frames):
         bf.push_frame(seq.depth[i], seq.color[i])
         if i % 20 == 0:

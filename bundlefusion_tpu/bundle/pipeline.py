@@ -109,7 +109,13 @@ class BundleFusion:
         config: Config | None = None,
         log_path: str | None = None,
         anchor_pose: np.ndarray | None = None,
+        profile: bool = False,
     ):
+        # profile=True inserts a device sync after every stage so the timing
+        # table attributes cost correctly; profile=False lets XLA queue the
+        # whole chunk's programs back-to-back (async dispatch), which is the
+        # production mode — only genuinely required host syncs remain.
+        self.profile = profile
         self.config = config or Config()
         self.config.validate()
         bc = self.config.bundling
@@ -241,7 +247,7 @@ class BundleFusion:
             init_pose = jnp.asarray(self.anchor)  # provisional; relocalization fixes it
             kf_valid = False
 
-        with self.timing.stage("graph_add", block=lambda: self.graph.poses):
+        with self.timing.stage("graph_add", block=(lambda: self.graph.poses) if self.profile else None):
             self.graph = global_graph.add_keyframe(
                 self.graph,
                 jnp.int32(k_idx),
@@ -298,14 +304,14 @@ class BundleFusion:
 
         # --- global BA ---
         if self.num_keyframes > 1:
-            with self.timing.stage("global_solve", block=lambda: self.graph.poses):
+            with self.timing.stage("global_solve", block=(lambda: self.graph.poses) if self.profile else None):
                 self.graph, gstats, removed = global_graph.global_solve(
                     self.graph, self.cache_cam, bc
                 )
                 jax.block_until_ready(self.graph.poses)
 
         # --- publish optimized trajectory for all frames so far ---
-        with self.timing.stage("publish", block=lambda: self.traj.opt_pose):
+        with self.timing.stage("publish", block=(lambda: self.traj.opt_pose) if self.profile else None):
             self._publish_trajectory()
 
         # --- integrate this chunk's (new) frames: one batched device program,
@@ -334,7 +340,7 @@ class BundleFusion:
             poses_b = jnp.einsum(
                 "ij,njk->nik", self.graph.poses[k_idx], jnp.asarray(local_traj[new_local])
             )
-            with self.timing.stage("integrate", block=lambda: self.table.weight):
+            with self.timing.stage("integrate", block=(lambda: self.table.weight) if self.profile else None):
                 self.table, overflow = tsdf.integrate_batch(
                     self.table,
                     res.frames.depth[lo:],
@@ -415,7 +421,7 @@ class BundleFusion:
         slots_p = np.array([self._hist_slot[f] for f in ids_p], np.int32)
         valid_p = np.array([True] * len(ids) + [False] * pad)
         reint_p = np.array(do_reint + [False] * pad)
-        with self.timing.stage("reint_apply", block=lambda: self.table.weight):
+        with self.timing.stage("reint_apply", block=(lambda: self.table.weight) if self.profile else None):
             self.table, self.traj = _apply_reint(
                 self.table,
                 self.traj,
