@@ -245,3 +245,20 @@ def test_mesh_from_fused_scene(fused_scene, tmp_path):
     assert np.median(d) < APP.voxel_size, f"median |sdf| at mesh = {np.median(d)}"
     write_ply(str(tmp_path / "scene.ply"), verts, colors, faces)
     assert (tmp_path / "scene.ply").stat().st_size > 1000
+
+
+def test_visible_blocks_frustum(fused_scene):
+    """compactifyVisibleBlocks analog: the visible set covers the blocks the
+    frame's own allocation would touch, and excludes behind-camera blocks."""
+    seq, table = fused_scene
+    slots, mask = tsdf.visible_blocks(table, jnp.asarray(seq.poses[0]), seq.camera, APP)
+    n_vis = int(mask.sum())
+    assert n_vis > 50
+    # every visible block is in front of the camera
+    import numpy as _np
+
+    coords = _np.asarray(blocks.unpack_key(table.key_of_slot[slots]))[_np.asarray(mask)]
+    ctr = (coords + 0.5) * (8 * APP.voxel_size)
+    w2c = _np.linalg.inv(seq.poses[0])
+    z = (ctr @ w2c[:3, :3].T + w2c[:3, 3])[:, 2]
+    assert (z > 0).all()

@@ -132,3 +132,24 @@ def test_timeshard_chunks_match_serial():
     # raw chained odometry at 64x48 drifts (no global BA in this test); the
     # equivalence spot-checks above are the real gate
     assert ate < 0.2, f"time-sharded keyframe ATE {ate*100:.1f} cm"
+
+
+def test_multiseq_fusion_integrates_per_device():
+    """Sharded TSDF: each device fuses its own sequence's frame into its own
+    block-table shard."""
+    from bundlefusion_tpu.config import tiny_test_config
+    from bundlefusion_tpu.fusion import blocks
+
+    APP = tiny_test_config().app
+    n = 8
+    seqs = [cached_sequence(2, width=64, height=48, seed=i) for i in range(n)]
+    cam = seqs[0].camera
+    m = mesh_mod.make_mesh(n)
+    tables = multiseq.stack_tables([blocks.make_table(2048) for _ in range(n)])
+    fn = multiseq.make_multiseq_fusion_fn(m, cam, APP)
+    depth = jnp.asarray(np.stack([s.depth[0] for s in seqs]))
+    color = jnp.asarray(np.stack([s.color[0] for s in seqs]))
+    poses = jnp.asarray(np.stack([s.poses[0] for s in seqs]))
+    tables = fn(tables, depth, color, poses)
+    active = np.asarray(jax.vmap(lambda t: t.num_active())(tables))
+    assert (active > 50).all(), active
