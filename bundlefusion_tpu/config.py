@@ -46,6 +46,7 @@ class AppConfig:
     block_capacity: int = 16384  # max live blocks (s_hashNumBuckets-equivalent capacity)
     blocks_per_frame_cap: int = 4096  # max new block allocations in one integrate step
     alloc_stride: int = 2  # pixel subsampling for block allocation rays
+    use_pallas_tsdf: bool = True  # Pallas integrate kernel on TPU (XLA path elsewhere)
     integration_weight_sample: float = 1.0  # per-frame integration weight (s_SDFIntegrationWeightSample)
 
     # --- streaming (out-of-core; config-5 scale) ---

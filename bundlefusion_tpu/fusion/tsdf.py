@@ -199,6 +199,23 @@ def _integrate_blocks(
     )
 
 
+def _integrate_blocks_dispatch(
+    slots, mask, table, depth, color, pose_c2w, cam, cfg, weight_sign
+):
+    """Choose the TPU Pallas kernel or the XLA fallback. The choice is static
+    per trace (backend + config flag), so integrate and de-integrate always
+    run the SAME kernel within a run — exact reversibility depends on it."""
+    if cfg.use_pallas_tsdf and jax.default_backend() == "tpu":
+        from .pallas_tsdf import integrate_blocks_pallas
+
+        return integrate_blocks_pallas(
+            table, slots, mask, depth, color, pose_c2w, cam, cfg, weight_sign
+        )
+    return _integrate_blocks(
+        slots, mask, table, depth, color, pose_c2w, cam, cfg, weight_sign
+    )
+
+
 def _frame_update_set(
     table: BlockTable,
     depth: jax.Array,
@@ -243,7 +260,7 @@ def integrate(
     upd_keys = dedup_keys(keys, cfg.blocks_per_frame_cap)
     table, overflow = allocate(table, upd_keys)
     slots, mask = _frame_update_set(table, depth, pose_c2w, cam, cfg, upd_keys)
-    table = _integrate_blocks(slots, mask, table, depth, color, pose_c2w, cam, cfg, +1.0)
+    table = _integrate_blocks_dispatch(slots, mask, table, depth, color, pose_c2w, cam, cfg, +1.0)
     return table, overflow
 
 
@@ -273,7 +290,7 @@ def integrate_batch(
             upd_keys = dedup_keys(keys, cfg.blocks_per_frame_cap)
             table, ov = allocate(table, upd_keys)
             slots, mask = _frame_update_set(table, depth, pose, cam, cfg, upd_keys)
-            table = _integrate_blocks(
+            table = _integrate_blocks_dispatch(
                 slots, mask, table, depth, color, pose, cam, cfg, +1.0
             )
             return table, ov
@@ -301,7 +318,7 @@ def deintegrate(
     """Exactly remove a frame's contribution (must use the same pose/depth it
     was integrated with). No allocation: blocks must already exist."""
     slots, mask = _frame_update_set(table, depth, pose_c2w, cam, cfg)
-    return _integrate_blocks(slots, mask, table, depth, color, pose_c2w, cam, cfg, -1.0)
+    return _integrate_blocks_dispatch(slots, mask, table, depth, color, pose_c2w, cam, cfg, -1.0)
 
 
 @functools.partial(jax.jit, static_argnames=("cam", "cfg"))
@@ -321,7 +338,7 @@ def deintegrate_batch(
 
         def do(t):
             slots, mask = _frame_update_set(t, depth, pose, cam, cfg)
-            return _integrate_blocks(slots, mask, t, depth, color, pose, cam, cfg, -1.0)
+            return _integrate_blocks_dispatch(slots, mask, t, depth, color, pose, cam, cfg, -1.0)
 
         return jax.lax.cond(ok, do, lambda t: t, table), None
 

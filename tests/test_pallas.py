@@ -30,3 +30,59 @@ def test_fused_preprocess_invalid_depth():
     fd, pts, nrm = fused_preprocess_pallas(jnp.asarray(d), seq.camera, interpret=True)
     assert float(jnp.abs(fd[0, :5, :5]).max()) == 0.0
     assert float(fd[0, 15, 15]) > 1.9
+
+
+def test_pallas_tsdf_matches_xla():
+    """The Pallas integrate kernel (interpret mode) equals the XLA path."""
+    import numpy as _np
+
+    from bundlefusion_tpu.config import tiny_test_config
+    from bundlefusion_tpu.fusion import blocks, tsdf
+    from bundlefusion_tpu.fusion.pallas_tsdf import integrate_blocks_pallas
+
+    APP = tiny_test_config().app
+    seq = cached_sequence(8, width=64, height=48)
+    table = blocks.make_table(2048)
+    for i in range(3):
+        table, _ = tsdf.integrate(
+            table,
+            jnp.asarray(seq.depth[i]),
+            jnp.asarray(seq.color[i]),
+            jnp.asarray(seq.poses[i]),
+            seq.camera,
+            APP,
+        )
+    d, c, T = jnp.asarray(seq.depth[3]), jnp.asarray(seq.color[3]), jnp.asarray(seq.poses[3])
+    keys = tsdf.frame_alloc_keys(d, T, seq.camera, APP)
+    upd = blocks.dedup_keys(keys, APP.blocks_per_frame_cap)
+    table2, _ = blocks.allocate(table, upd)
+    slots, mask = blocks.lookup(table2, upd)
+    ref = tsdf._integrate_blocks(slots, mask, table2, d, c, T, seq.camera, APP, 1.0)
+    pal = integrate_blocks_pallas(
+        table2, slots, mask, d, c, T, seq.camera, APP, 1.0, interpret=True
+    )
+    _np.testing.assert_allclose(_np.asarray(pal.sdf), _np.asarray(ref.sdf), atol=1e-5)
+    _np.testing.assert_array_equal(_np.asarray(pal.weight), _np.asarray(ref.weight))
+    _np.testing.assert_allclose(_np.asarray(pal.color), _np.asarray(ref.color), atol=1e-5)
+
+
+def test_pallas_tsdf_deintegrate_exact():
+    """integrate then deintegrate through the Pallas kernel is an exact no-op."""
+    import numpy as _np
+
+    from bundlefusion_tpu.config import tiny_test_config
+    from bundlefusion_tpu.fusion import blocks, tsdf
+    from bundlefusion_tpu.fusion.pallas_tsdf import integrate_blocks_pallas
+
+    APP = tiny_test_config().app
+    seq = cached_sequence(8, width=64, height=48)
+    table = blocks.make_table(2048)
+    d, c, T = jnp.asarray(seq.depth[0]), jnp.asarray(seq.color[0]), jnp.asarray(seq.poses[0])
+    keys = tsdf.frame_alloc_keys(d, T, seq.camera, APP)
+    upd = blocks.dedup_keys(keys, APP.blocks_per_frame_cap)
+    table, _ = blocks.allocate(table, upd)
+    slots, mask = blocks.lookup(table, upd)
+    t1 = integrate_blocks_pallas(table, slots, mask, d, c, T, seq.camera, APP, 1.0, interpret=True)
+    t2 = integrate_blocks_pallas(t1, slots, mask, d, c, T, seq.camera, APP, -1.0, interpret=True)
+    _np.testing.assert_array_equal(_np.asarray(t2.weight), _np.asarray(table.weight))
+    assert float(jnp.abs(t2.sdf).max()) < 1e-6
