@@ -81,22 +81,31 @@ def gaussian_filter(x: jax.Array, sigma: float, radius: int | None = None) -> ja
     """
     if radius is None:
         radius = max(1, int(3.0 * sigma + 0.5))
-    offs = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
-    k = jnp.exp(-(offs**2) / (2.0 * sigma * sigma))
-    k = k / jnp.sum(k)
-    lead = x.shape[:-2]
     h, w = x.shape[-2:]
-    xi = x.reshape((-1, 1, h, w))
-    dn = jax.lax.conv_dimension_numbers(xi.shape, (1, 1, 2 * radius + 1, 1), ("NCHW", "OIHW", "NCHW"))
-    ky = k.reshape(1, 1, -1, 1)
-    kx = k.reshape(1, 1, 1, -1)
-    out = jax.lax.conv_general_dilated(
-        xi, ky, window_strides=(1, 1), padding=((radius, radius), (0, 0)), dimension_numbers=dn
-    )
-    out = jax.lax.conv_general_dilated(
-        out, kx, window_strides=(1, 1), padding=((0, 0), (radius, radius)), dimension_numbers=dn
-    )
-    return out.reshape(lead + (h, w))
+    # banded Gaussian matrices: y = G_h @ x @ G_w^T. Single-channel convs use
+    # ~1/128th of the MXU; these dense [H,H]/[W,W] matmuls use all of it and
+    # give identical zero-padded-boundary math.
+    gh = _gauss_band_matrix(h, sigma, radius, x.dtype)
+    gw = _gauss_band_matrix(w, sigma, radius, x.dtype)
+    out = jnp.einsum("hk,...kw->...hw", gh, x)
+    out = jnp.einsum("...hw,kw->...hk", out, gw)
+    return out
+
+
+@functools.lru_cache(maxsize=None)
+def _gauss_band_np(n: int, sigma: float, radius: int):
+    import numpy as np
+
+    idx = np.arange(n)
+    diff = idx[None, :] - idx[:, None]
+    k = np.exp(-(np.arange(-radius, radius + 1) ** 2) / (2.0 * sigma * sigma))
+    k = k / k.sum()
+    g = np.where(np.abs(diff) <= radius, k[np.clip(diff + radius, 0, 2 * radius)], 0.0)
+    return g.astype(np.float32)  # numpy: lru_cache must not hold traced values
+
+
+def _gauss_band_matrix(n: int, sigma: float, radius: int, dtype) -> jax.Array:
+    return jnp.asarray(_gauss_band_np(n, float(sigma), int(radius)), dtype=dtype)
 
 
 def color_to_intensity(color: jax.Array) -> jax.Array:
