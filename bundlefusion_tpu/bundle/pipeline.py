@@ -164,6 +164,11 @@ class BundleFusion:
         )
         self._chunk_valid_dev = jnp.zeros(self.max_chunks, bool)
 
+        # out-of-core streaming (CUDASceneRepChunkGrid analog; config-5 scale)
+        from ..fusion.streaming import HostBlockStore
+
+        self.block_store = HostBlockStore()
+
         self.timing = TimingLog()
         self.runlog = RunLog(log_path)
 
@@ -357,6 +362,22 @@ class BundleFusion:
         # --- budgeted re-integration (the paper's key trick) ---
         with self.timing.stage("reint_plan_apply"):
             self._reintegrate(ac.max_reintegrations_per_frame * self.S)
+
+        # --- out-of-core streaming: evict far blocks / restore near ones
+        # around the current camera (reference: interleaved with integration) ---
+        if ac.streaming_enabled and self._chunk_valid[c]:
+            from ..fusion import streaming
+
+            cam_pos = np.asarray(self.graph.poses[k_idx])[:3, 3]
+            with self.timing.stage("streaming"):
+                self.table, n_in = streaming.stream_in(
+                    self.table, self.block_store, cam_pos, ac
+                )
+                self.table, n_out = streaming.stream_out(
+                    self.table, self.block_store, cam_pos, ac
+                )
+            self.runlog.log(chunk=c, stream_in=n_in, stream_out=n_out,
+                            host_blocks=len(self.block_store))
 
         self.runlog.log(
             chunk=c,

@@ -139,3 +139,56 @@ def test_timing_and_runlog(tmp_path):
     log.close()
     rec = json.loads((tmp_path / "log.jsonl").read_text())
     assert rec == {"a": 1, "b": 2.5}
+
+
+@pytest.mark.slow
+def test_pipeline_with_streaming(tmp_path):
+    """Config-5 path: streaming enabled with a tight radius evicts far blocks
+    to the host store while tracking and meshing keep working."""
+    from bundlefusion_tpu.bundle.pipeline import run_sequence
+    from bundlefusion_tpu.config import Config, tiny_test_config
+    from bundlefusion_tpu.eval.ate import ate_rmse
+    from bundlefusion_tpu.io.replayer import Replayer, SyntheticSource
+
+    base = tiny_test_config()
+    cfg = Config(
+        app=dataclasses.replace(base.app, streaming_enabled=True, streaming_radius=2.2),
+        bundling=base.bundling,
+    )
+    seq = cached_sequence(21, width=128, height=96)
+    rep = Replayer(SyntheticSource(seq), batch_size=8)
+    bf, out = run_sequence(rep, cfg, anchor_pose=seq.poses[0])
+    n = min(len(out.poses), len(seq.poses))
+    assert ate_rmse(out.poses[:n], seq.poses[:n], valid=out.valid[:n]) < 0.02
+    # far scene parts (back wall ~3.5 m away) must have been streamed out
+    assert len(bf.block_store) > 0, "tight radius should evict far blocks"
+    verts, _, _ = bf.extract_mesh()
+    assert len(verts) > 500
+
+
+@pytest.mark.slow
+def test_app_cli_sens_input(tmp_path):
+    """The --sens CLI route end to end on a recorded synthetic sequence."""
+    from bundlefusion_tpu.app import main
+    from bundlefusion_tpu.config import tiny_test_config
+    from bundlefusion_tpu.io import sens
+
+    seq = cached_sequence(11, width=128, height=96)
+    path = str(tmp_path / "synth.sens")
+    sens.write_sens(path, seq.depth, seq.color, seq.poses, seq.camera)
+    cfg = tiny_test_config()
+    cfgdir = tmp_path / "cfg"
+    cfgdir.mkdir()
+    (cfgdir / "app.json").write_text(json.dumps(dataclasses.asdict(cfg.app)))
+    (cfgdir / "bundling.json").write_text(json.dumps(dataclasses.asdict(cfg.bundling)))
+    out = tmp_path / "out"
+    rc = main([
+        "--sens", path,
+        "--app-config", str(cfgdir / "app.json"),
+        "--bundling-config", str(cfgdir / "bundling.json"),
+        "--out", str(out), "--no-mesh",
+    ])
+    assert rc == 0
+    summary = json.loads((out / "summary.json").read_text())
+    assert summary["frames"] >= 11
+    assert summary["ate_rmse_m"] < 0.05  # GT poses came from the .sens header
