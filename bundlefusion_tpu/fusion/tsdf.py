@@ -276,33 +276,39 @@ def integrate_batch(
 ) -> tuple[BlockTable, jax.Array]:
     """Integrate a whole frame batch in ONE device program (lax.scan over
     frames) — one dispatch per chunk instead of one per frame, which matters
-    when host<->device latency is nontrivial. Returns (table, overflow sum)."""
-    from .blocks import allocate
+    when host<->device latency is nontrivial. Returns (table, overflow sum).
 
-    def step(carry, inp):
-        table, overflow = carry
+    Allocation is amortized: the union of every frame's truncation-band keys
+    is sorted/merged into the pool ONCE, then the per-frame scan only computes
+    update sets and runs the integrate kernel. (Per-frame update sets remain
+    pure functions of (depth, pose) — de-integration exactness is untouched.)
+    """
+    from .blocks import allocate, dedup_keys
+
+    b = depths.shape[0]
+    all_keys = jax.vmap(
+        lambda d, p, ok: jnp.where(
+            ok, frame_alloc_keys(d, p, cam, cfg), INVALID_KEY
+        )
+    )(depths, poses, valid).reshape(-1)
+    union = dedup_keys(all_keys, cfg.blocks_per_frame_cap * 4)
+    table, overflow = allocate(table, union)
+
+    def step(table, inp):
         depth, color, pose, ok = inp
 
         def do(table):
-            from .blocks import dedup_keys
-
-            keys = frame_alloc_keys(depth, pose, cam, cfg)
-            upd_keys = dedup_keys(keys, cfg.blocks_per_frame_cap)
-            table, ov = allocate(table, upd_keys)
+            upd_keys = dedup_keys(
+                frame_alloc_keys(depth, pose, cam, cfg), cfg.blocks_per_frame_cap
+            )
             slots, mask = _frame_update_set(table, depth, pose, cam, cfg, upd_keys)
-            table = _integrate_blocks_dispatch(
+            return _integrate_blocks_dispatch(
                 slots, mask, table, depth, color, pose, cam, cfg, +1.0
             )
-            return table, ov
 
-        new_table, ov = jax.lax.cond(
-            ok, do, lambda t: (t, jnp.int32(0)), table
-        )
-        return (new_table, overflow + ov), None
+        return jax.lax.cond(ok, do, lambda t: t, table), None
 
-    (table, overflow), _ = jax.lax.scan(
-        step, (table, jnp.int32(0)), (depths, colors, poses, valid)
-    )
+    table, _ = jax.lax.scan(step, table, (depths, colors, poses, valid))
     return table, overflow
 
 
