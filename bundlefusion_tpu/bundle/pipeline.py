@@ -282,11 +282,9 @@ class BundleFusion:
                 )
                 kf_valid = True
                 relinked = True
-            elif kf_valid and not bool(mres.any_valid) and k_idx > 0:
-                # keyframe only chain-linked; keep it (odometry mode) — the
-                # reference similarly keeps chunks that fail global match but
-                # are consistent locally, relying on later loop closures
-                pass
+            # (a chain-linked keyframe with no global match stays valid —
+            # odometry mode; the reference likewise relies on later loop
+            # closures rather than invalidating it)
 
         # --- tracking-lost state machine ---
         if chunk_valid and kf_valid:
@@ -313,7 +311,6 @@ class BundleFusion:
                 self.graph, gstats, removed = global_graph.global_solve(
                     self.graph, self.cache_cam, bc
                 )
-                jax.block_until_ready(self.graph.poses)
 
         # --- publish optimized trajectory for all frames so far ---
         with self.timing.stage("publish", block=(lambda: self.traj.opt_pose) if self.profile else None):
