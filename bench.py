@@ -79,7 +79,7 @@ def main() -> None:
 
     # pass 2/3: fresh pipelines, all executables warm — report the best pass
     # (the TPU tunnel's latency varies run to run; max-of-2 damps that noise)
-    fps = 0.0
+    fps, elapsed = 0.0, float("inf")
     for _ in range(2):
         bf = BundleFusion(seq.camera, cfg, anchor_pose=seq.poses[0])
         t0 = time.perf_counter()
@@ -87,7 +87,9 @@ def main() -> None:
             bf.push_frame(seq.depth[i], seq.color[i])
         bf.flush()
         jax.block_until_ready(bf.graph.poses)
-        fps = max(fps, num_frames / (time.perf_counter() - t0))
+        dt = time.perf_counter() - t0
+        if num_frames / dt > fps:
+            fps, elapsed = num_frames / dt, dt
     out = bf.outputs()
     n = min(len(out.poses), len(seq.poses))  # flush() pads the tail chunk
     ate = ate_rmse(out.poses[:n], seq.poses[:n], valid=out.valid[:n])
@@ -98,13 +100,25 @@ def main() -> None:
         "unit": f"frames/sec ({width}x{height}, full pipeline, 1 chip)",
         "vs_baseline": round(fps / 30.0, 3),
     }
-    # secondary diagnostics on stderr (driver parses stdout's single line)
+    # secondary diagnostics on stderr (driver parses stdout's single line);
+    # covers the BASELINE.json metric set: fps, GN iters/sec, voxel updates/sec
+    chunks = bf.chunk_count
+    gn_iters = chunks * (
+        cfg.bundling.local_gn_iters * 2  # local solve+prune rounds
+        + cfg.bundling.global_gn_iters
+    )
+    # voxel updates: every integrated/deintegrated frame touches up to
+    # blocks_per_frame_cap blocks x 512 voxels
+    n_integrations = num_frames + bf.timing.counts.get("reint_apply", 0) * 2
+    voxel_updates = n_integrations * cfg.app.blocks_per_frame_cap * 512
     print(
         json.dumps(
             {
                 "ate_cm": round(ate * 100, 3),
                 "keyframes": out.num_keyframes,
                 "blocks": int(bf.table.num_active()),
+                "gn_iters_per_sec": round(gn_iters / elapsed, 1),
+                "voxel_updates_per_sec": round(voxel_updates / elapsed),
                 "timing": bf.timing.summary(),
             }
         ),
