@@ -26,8 +26,8 @@ def save_checkpoint(bf: BundleFusion, path: str) -> None:
         "table": jax.tree.map(np.asarray, bf.table),
         "graph": jax.tree.map(np.asarray, bf.graph),
         "traj": jax.tree.map(np.asarray, bf.traj),
-        "hist_depth": np.asarray(bf._hist_depth),
-        "hist_color": np.asarray(bf._hist_color),
+        "hist_d16": np.asarray(bf._hist_d16),
+        "hist_c8": np.asarray(bf._hist_c8),
         "local_traj_dev": np.asarray(bf._local_traj_dev),
         "chunk_valid_dev": np.asarray(bf._chunk_valid_dev),
     }
@@ -43,6 +43,7 @@ def save_checkpoint(bf: BundleFusion, path: str) -> None:
         "chunk_valid": bf._chunk_valid,
         "hist_slot": bf._hist_slot,
         "hist_next": bf._hist_next,
+        "frame_store": bf._frame_store,
         "config_json": bf.config.to_json(),
         "camera": tuple(bf.cam),
     }
@@ -76,9 +77,11 @@ def load_checkpoint(path: str) -> BundleFusion:
     bf._local_trajs = host["local_trajs"]
     bf._chunk_valid = host["chunk_valid"]
     bf._hist_slot = host["hist_slot"]
+    bf._slot_frame = {s: f for f, s in host["hist_slot"].items()}
     bf._hist_next = host["hist_next"]
-    bf._hist_depth = jnp.asarray(dev["hist_depth"])
-    bf._hist_color = jnp.asarray(dev["hist_color"])
+    bf._frame_store = host["frame_store"]
+    bf._hist_d16 = jnp.asarray(dev["hist_d16"])
+    bf._hist_c8 = jnp.asarray(dev["hist_c8"])
     bf._local_traj_dev = jnp.asarray(dev["local_traj_dev"])
     bf._chunk_valid_dev = jnp.asarray(dev["chunk_valid_dev"])
     return bf

@@ -108,7 +108,10 @@ def fuse_keys_to_keyframe(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("cam", "cache_cam", "cfg", "sigma_d", "sigma_r"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("cam", "cache_cam", "cfg", "sigma_d", "sigma_r", "filter_depth"),
+)
 def process_chunk(
     depth_raw: jax.Array,  # [S+1, H, W]
     color: jax.Array,  # [S+1, H, W, 3]
@@ -117,6 +120,7 @@ def process_chunk(
     cfg: BundlingConfig,
     sigma_d: float = 2.0,
     sigma_r: float = 0.1,
+    filter_depth: bool = True,
 ) -> ChunkResult:
     """The whole local pipeline for one chunk as a single XLA program.
 
@@ -130,7 +134,13 @@ def process_chunk(
     if color.dtype == jnp.uint8:
         color = color.astype(jnp.float32) * (1.0 / 255.0)
     frames, cache = preprocess_frames(
-        depth_raw, color, cam, cache_cam, sigma_d=sigma_d, sigma_r=sigma_r
+        depth_raw,
+        color,
+        cam,
+        cache_cam,
+        sigma_d=sigma_d,
+        sigma_r=sigma_r,
+        filter_depth=filter_depth,
     )
     keys = sift.detect_batch(frames.intensity, frames.depth, cam, cfg)
 

@@ -64,33 +64,49 @@ def _publish_all(
 
 
 @functools.partial(jax.jit, static_argnames=("cam", "cfg"))
-def _apply_reint(
+def _fuse_frames(
     table,
     traj: trajectory.TrajectoryState,
-    hist_depth: jax.Array,
-    hist_color: jax.Array,
+    hist_d16: jax.Array,  # [R, H, W] uint16 depth (mm, wire format)
+    hist_c8: jax.Array,  # [R, H, W, 3] uint8 color
     slots: jax.Array,  # [B] ring slots
     frame_ids: jax.Array,  # [B]
-    valid: jax.Array,  # [B] de-integrate these
-    do_reint: jax.Array,  # [B] re-integrate subset
+    deint_valid: jax.Array,  # [B] de-integrate at integrated_pose
+    reint_valid: jax.Array,  # [B] (re-)integrate at opt_pose
     cam: CameraModel,
     cfg,
 ):
-    depth = hist_depth[slots]
-    color = hist_color[slots]
+    """ONE fused device program for all TSDF pose maintenance: initial
+    integration (deint_valid all-False), re-integration after pose drift, pure
+    de-integration of invalidated frames, and integrate-only revalidation
+    catch-up. Frames are dequantized from the wire-format ring on device; the
+    dequantization is elementwise and deterministic, so a frame re-uploaded
+    from the host FrameStore de-integrates bit-exactly. Returns
+    (table, traj, alloc_overflow)."""
+    depth = hist_d16[slots].astype(jnp.float32) * 1e-3
+    color = hist_c8[slots].astype(jnp.float32) * (1.0 / 255.0)
     old_poses = traj.integrated_pose[frame_ids]
     new_poses = traj.opt_pose[frame_ids]
-    table = tsdf.deintegrate_batch(table, depth, color, old_poses, valid, cam, cfg)
-    table, _ = tsdf.integrate_batch(table, depth, color, new_poses, do_reint, cam, cfg)
+    table = tsdf.deintegrate_batch(table, depth, color, old_poses, deint_valid, cam, cfg)
+    table, overflow = tsdf.integrate_batch(
+        table, depth, color, new_poses, reint_valid, cam, cfg
+    )
     sentinel = traj.opt_pose.shape[0]  # out-of-range scatter ids are dropped
-    deint_ids = jnp.where(valid, frame_ids, sentinel)
+    deint_ids = jnp.where(deint_valid, frame_ids, sentinel)
     traj = traj._replace(integrated=traj.integrated.at[deint_ids].set(False))
-    reint_ids = jnp.where(do_reint, frame_ids, sentinel)
+    reint_ids = jnp.where(reint_valid, frame_ids, sentinel)
     traj = traj._replace(
         integrated_pose=traj.integrated_pose.at[reint_ids].set(new_poses),
         integrated=traj.integrated.at[reint_ids].set(True),
     )
-    return table, traj
+    return table, traj, overflow
+
+
+@jax.jit
+def _quantize_depth16(depth: jax.Array) -> jax.Array:
+    """float meters -> uint16 mm (wire format); the inverse of the fuse
+    program's dequantization, used when integrating *filtered* depth."""
+    return jnp.clip(jnp.round(depth * 1000.0), 0, 65535).astype(jnp.uint16)
 
 
 class PipelineOutputs(NamedTuple):
@@ -146,14 +162,30 @@ class BundleFusion:
         self.anchor = np.eye(4, dtype=np.float32) if anchor_pose is None else anchor_pose
 
         self._pending: list[tuple[np.ndarray, np.ndarray]] = []  # (depth, color)
-        # device-side frame history ring (filtered depth + color) so
-        # re-integration never re-uploads or re-stacks frames; maps
-        # frame_id -> ring slot on the host
-        self.history_cap = min(bc.max_frames, 512)
-        self._hist_depth = jnp.zeros((self.history_cap, cam.height, cam.width), jnp.float32)
-        self._hist_color = jnp.zeros((self.history_cap, cam.height, cam.width, 3), jnp.float32)
-        self._hist_slot: dict[int, int] = {}
+        # Frame storage for de/re-integration (reference: TrajectoryManager +
+        # CPU-resident integrate frames over the WHOLE sequence):
+        #   * host FrameStore: every frame ever pushed, wire format (uint16 mm
+        #     depth + uint8 color, ~1.5 MB/frame at 640x480) — the authority;
+        #   * device ring: an LRU cache of the same wire data, so the common
+        #     case (recent frames) re-integrates with zero host traffic, and
+        #     any older frame is re-uploaded into the ring on demand.
+        # Because both tiers hold identical wire bytes and the fuse program
+        # dequantizes on device, de-integration stays bit-exact regardless of
+        # which tier served the frame.
+        self.history_cap = min(bc.max_frames, ac.history_ring_frames)
+        if self.history_cap < bc.chunk_size:
+            raise ValueError(
+                f"history_ring_frames={ac.history_ring_frames} must hold at "
+                f"least one chunk ({bc.chunk_size} frames)"
+            )
+        self._hist_d16 = jnp.zeros((self.history_cap, cam.height, cam.width), jnp.uint16)
+        self._hist_c8 = jnp.zeros((self.history_cap, cam.height, cam.width, 3), jnp.uint8)
+        self._hist_slot: dict[int, int] = {}  # frame_id -> ring slot
+        self._slot_frame: dict[int, int] = {}  # ring slot -> frame_id
         self._hist_next = 0
+        self._frame_store: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        self._ring_uploads_chunk = 0
+        self._gc_jit = jax.jit(blocks.garbage_collect)
         self._local_trajs: list[np.ndarray] = []  # per chunk [S+1, 4, 4] (host copy)
         self._chunk_valid: list[bool] = []
         # device-side fixed-capacity local-trajectory store: growing shapes
@@ -223,14 +255,17 @@ class BundleFusion:
         _t_chunk_start = __import__("time").perf_counter()
 
         with self.timing.stage("chunk_local"):
+            d_wire = jnp.asarray(depth)
+            c_wire = jnp.asarray(color)
             res = chunk_mod.process_chunk(
-                jnp.asarray(depth),
-                jnp.asarray(color),
+                d_wire,
+                c_wire,
                 self.cam,
                 self.cache_cam,
                 bc,
                 sigma_d=ac.depth_sigma_d,
                 sigma_r=ac.depth_sigma_r,
+                filter_depth=ac.depth_filter,
             )
             jax.block_until_ready(res.local_traj)
 
@@ -301,8 +336,12 @@ class BundleFusion:
             self.tracking_lost = False
             self.consecutive_invalid = 0
 
-        self._chunk_valid.append(chunk_valid and kf_valid)
-        self._chunk_valid_dev = self._chunk_valid_dev.at[c].set(chunk_valid and kf_valid)
+        # store LOCAL chunk validity only; keyframe validity comes live from
+        # graph.valid at publish time, so a later revalidation of keyframe k
+        # (relocalization) automatically revalidates its chunk's frames
+        self._chunk_valid.append(chunk_valid)
+        self._chunk_valid_dev = self._chunk_valid_dev.at[c].set(chunk_valid)
+        integrate_now = chunk_valid and kf_valid
         self.num_keyframes = k_idx + 1
 
         # --- global BA ---
@@ -316,53 +355,59 @@ class BundleFusion:
         with self.timing.stage("publish", block=(lambda: self.traj.opt_pose) if self.profile else None):
             self._publish_trajectory()
 
-        # --- integrate this chunk's (new) frames: one batched device program,
-        # using the *filtered* depth already on device (matches the reference:
-        # the CUDAImageManager's processed frames feed the TSDF, and avoids
-        # re-uploading raw frames over the host link) ---
+        # --- stash the chunk's frames (wire format) in the device ring + the
+        # host FrameStore, then integrate via the unified fuse program. The
+        # ring and store hold the SAME bytes the fuse program dequantizes, so
+        # a frame re-uploaded from the host years later de-integrates exactly.
         lo = 0 if c == 0 else 1
         new_local = np.arange(lo, self.chunk_frames)
-        new_ids = first_frame + new_local
-        # append the chunk's processed frames to the device history ring
-        slots = []
-        for f in new_ids:
-            slot = self._hist_next % self.history_cap
-            # evict whatever frame previously used this slot
-            for old_f, old_s in list(self._hist_slot.items()):
-                if old_s == slot:
-                    del self._hist_slot[old_f]
-            self._hist_slot[int(f)] = slot
-            slots.append(slot)
-            self._hist_next += 1
-            self.num_frames = max(self.num_frames, int(f) + 1)
+        new_ids = [int(first_frame + i) for i in new_local]
+        if ac.integrate_filtered_depth:
+            d16_chunk = _quantize_depth16(res.frames.depth)
+        else:
+            d16_chunk = d_wire
+        slots = self._ring_assign(new_ids)
         slots_a = jnp.asarray(slots, jnp.int32)
-        self._hist_depth = self._hist_depth.at[slots_a].set(res.frames.depth[lo:])
-        self._hist_color = self._hist_color.at[slots_a].set(res.frames.color[lo:])
-        if self._chunk_valid[c]:
-            poses_b = jnp.einsum(
-                "ij,njk->nik", self.graph.poses[k_idx], jnp.asarray(local_traj[new_local])
-            )
+        self._hist_d16 = self._hist_d16.at[slots_a].set(d16_chunk[lo:])
+        self._hist_c8 = self._hist_c8.at[slots_a].set(c_wire[lo:])
+        self.num_frames = max(self.num_frames, new_ids[-1] + 1)
+        # host authority copies (one depth download per chunk only when
+        # integrating filtered depth; the raw path reuses the input arrays)
+        d16_host = np.asarray(d16_chunk) if ac.integrate_filtered_depth else depth
+        for i, f in zip(new_local, new_ids):
+            self._frame_store[f] = (d16_host[i], color[i])
+
+        overflow_dev = None
+        if integrate_now:
             with self.timing.stage("integrate", block=(lambda: self.table.weight) if self.profile else None):
-                self.table, overflow = tsdf.integrate_batch(
+                self.table, self.traj, overflow_dev = _fuse_frames(
                     self.table,
-                    res.frames.depth[lo:],
-                    res.frames.color[lo:],
-                    poses_b,
-                    jnp.ones(len(new_local), bool),
+                    self.traj,
+                    self._hist_d16,
+                    self._hist_c8,
+                    slots_a,
+                    jnp.asarray(new_ids, jnp.int32),
+                    jnp.zeros(len(new_ids), bool),
+                    jnp.ones(len(new_ids), bool),
                     self.cam,
                     ac,
                 )
-            self.traj = trajectory.mark_integrated_batch(
-                self.traj, jnp.asarray(new_ids, jnp.int32), poses_b
-            )
 
         # --- budgeted re-integration (the paper's key trick) ---
         with self.timing.stage("reint_plan_apply"):
-            self._reintegrate(ac.max_reintegrations_per_frame * self.S)
+            n_reint, reint_overflow = self._reintegrate(
+                ac.max_reintegrations_per_frame * self.S
+            )
+
+        # --- TSDF garbage collection: after de-integration, fully unobserved
+        # blocks return capacity to the pool (reference GCs per frame) ---
+        freed = None
+        if ac.gc_every_chunks and (c + 1) % ac.gc_every_chunks == 0:
+            self.table, freed = self._gc_jit(self.table)
 
         # --- out-of-core streaming: evict far blocks / restore near ones
         # around the current camera (reference: interleaved with integration) ---
-        if ac.streaming_enabled and self._chunk_valid[c]:
+        if ac.streaming_enabled and integrate_now:
             from ..fusion import streaming
 
             cam_pos = np.asarray(self.graph.poses[k_idx])[:3, 3]
@@ -386,7 +431,13 @@ class BundleFusion:
             tracking_lost=self.tracking_lost,
             active_blocks=int(self.table.num_active()),
             corr_cursor=int(self.graph.corr_cursor),
+            alloc_overflow=int(overflow_dev) if overflow_dev is not None else 0,
+            reint_frames=n_reint,
+            reint_overflow=reint_overflow,
+            gc_freed=int(freed) if freed is not None else 0,
+            ring_uploads=self._ring_uploads_chunk,
         )
+        self._ring_uploads_chunk = 0
         self.timing.record("whole_chunk_step", __import__("time").perf_counter() - _t_chunk_start)
         self.chunk_count += 1
 
@@ -414,44 +465,92 @@ class BundleFusion:
             self.chunk_frames,
         )
 
-    def _reintegrate(self, budget: int) -> None:
+    # ------------------------------------------------------------------
+    # frame ring (device LRU cache over the host FrameStore)
+    # ------------------------------------------------------------------
+
+    def _ring_assign(self, frame_ids: list[int], protect: tuple | list = ()) -> list[int]:
+        """Map frames to ring slots, evicting round-robin. Slots holding
+        frames in `protect` (or assigned during this call) are never evicted.
+        O(1) per eviction via the slot->frame reverse map."""
+        protected = {self._hist_slot[f] for f in protect if f in self._hist_slot}
+        out = []
+        for f in frame_ids:
+            if f in self._hist_slot:
+                s = self._hist_slot[f]
+            else:
+                for _ in range(self.history_cap + 1):
+                    s = self._hist_next % self.history_cap
+                    self._hist_next += 1
+                    if s not in protected:
+                        break
+                else:
+                    raise RuntimeError("frame ring exhausted by protected slots")
+                old = self._slot_frame.pop(s, None)
+                if old is not None:
+                    del self._hist_slot[old]
+                self._hist_slot[f] = s
+                self._slot_frame[s] = f
+            protected.add(s)
+            out.append(s)
+        return out
+
+    def _ring_ensure(self, frame_ids: list[int]) -> list[int]:
+        """Guarantee every frame is ring-resident, re-uploading spilled frames
+        from the host FrameStore in one batched device write."""
+        missing = [f for f in frame_ids if f not in self._hist_slot]
+        if missing:
+            slots = self._ring_assign(missing, protect=frame_ids)
+            d = np.stack([self._frame_store[f][0] for f in missing])
+            cc = np.stack([self._frame_store[f][1] for f in missing])
+            sa = jnp.asarray(slots, jnp.int32)
+            self._hist_d16 = self._hist_d16.at[sa].set(jnp.asarray(d))
+            self._hist_c8 = self._hist_c8.at[sa].set(jnp.asarray(cc))
+            self._ring_uploads_chunk += len(missing)
+        return [self._hist_slot[f] for f in frame_ids]
+
+    def _reintegrate(self, budget: int) -> tuple[int, int]:
         """Apply one budgeted de/re-integration step (SURVEY.md §3.4): plan on
-        device, one host sync for the work list, then ONE fused device program
-        (history gather + de-integrate + re-integrate + bookkeeping)."""
+        device, one host sync for the work list, re-upload any spilled frames
+        into the ring, then ONE fused device program (gather + de-integrate +
+        re-integrate + bookkeeping). Every planned frame is actionable — the
+        host FrameStore holds the whole sequence, so re-integration has no
+        history horizon. Returns (frames touched, alloc overflow)."""
+        # the work list must fit the ring alongside nothing else (all planned
+        # frames are ring-pinned during the fused program)
+        budget = min(budget, self.history_cap)
         if budget <= 0:
-            return
+            return 0, 0
         plan = trajectory.plan_reintegration(self.traj, budget)
-        deint_mask = np.array(plan.deint_mask)  # one host sync per chunk
-        if not deint_mask.any():
-            return
-        frames_np = np.asarray(plan.deint_frames)
-        reint_np = np.asarray(plan.reint_mask)
-        ids, do_reint = [], []
-        for i in np.nonzero(deint_mask)[0]:
-            f = int(frames_np[i])
-            if f in self._hist_slot:  # evicted frames can't be re-integrated
-                ids.append(f)
-                do_reint.append(bool(reint_np[i]))
-        if not ids:
-            return
+        frames_np, deint_np, reint_np = jax.device_get(
+            (plan.frames, plan.deint_mask, plan.reint_mask)
+        )  # one host sync per chunk
+        work = deint_np | reint_np
+        if not work.any():
+            return 0, 0
+        ids = [int(f) for f in frames_np[work]]
+        deint = [bool(x) for x in deint_np[work]]
+        reint = [bool(x) for x in reint_np[work]]
+        slots = self._ring_ensure(ids)
         pad = budget - len(ids)
-        ids_p = np.array(ids + [ids[0]] * pad, np.int32)
-        slots_p = np.array([self._hist_slot[f] for f in ids_p], np.int32)
-        valid_p = np.array([True] * len(ids) + [False] * pad)
-        reint_p = np.array(do_reint + [False] * pad)
+        ids_p = np.array(ids + ids[:1] * pad, np.int32)
+        slots_p = np.array(slots + slots[:1] * pad, np.int32)
+        deint_p = np.array(deint + [False] * pad)
+        reint_p = np.array(reint + [False] * pad)
         with self.timing.stage("reint_apply", block=(lambda: self.table.weight) if self.profile else None):
-            self.table, self.traj = _apply_reint(
+            self.table, self.traj, overflow = _fuse_frames(
                 self.table,
                 self.traj,
-                self._hist_depth,
-                self._hist_color,
+                self._hist_d16,
+                self._hist_c8,
                 jnp.asarray(slots_p),
                 jnp.asarray(ids_p),
-                jnp.asarray(valid_p),
+                jnp.asarray(deint_p),
                 jnp.asarray(reint_p),
                 self.cam,
                 self.config.app,
             )
+        return len(ids), int(overflow)
 
     # ------------------------------------------------------------------
     # outputs
@@ -459,11 +558,12 @@ class BundleFusion:
 
     def flush(self) -> None:
         """Process any tail frames as a final (possibly short) chunk by
-        repeating the last frame to fill the chunk capacity."""
-        needed = self.chunk_frames if self.chunk_count == 0 else self.chunk_frames
-        if len(self._pending) >= 2 and len(self._pending) < needed:
+        repeating the last frame to fill the chunk capacity. After chunk 0,
+        `_pending` always starts with the overlap frame (already processed),
+        so >= 2 pending means there is at least one genuinely new frame."""
+        if 2 <= len(self._pending) < self.chunk_frames:
             last = self._pending[-1]
-            while len(self._pending) < needed:
+            while len(self._pending) < self.chunk_frames:
                 self._pending.append(last)
             self._maybe_process_chunk()
 

@@ -56,10 +56,9 @@ def update_optimized(
 class ReintPlan(NamedTuple):
     """Budgeted work lists for the fusion thread (SURVEY.md §3.2 reintegrate())."""
 
-    deint_frames: jax.Array  # [budget] int32 — de-integrate at integrated_pose
-    deint_mask: jax.Array  # [budget] bool
-    reint_frames: jax.Array  # [budget] int32 — re-integrate at opt_pose (subset flag below)
-    reint_mask: jax.Array  # [budget] bool — False rows of deint that should NOT re-add
+    frames: jax.Array  # [budget] int32 — frame ids to touch
+    deint_mask: jax.Array  # [budget] bool — de-integrate at integrated_pose
+    reint_mask: jax.Array  # [budget] bool — (re-)integrate at opt_pose
     max_delta: jax.Array  # float32 — largest pending pose delta (for logging)
 
 
@@ -70,23 +69,38 @@ def plan_reintegration(
     rot_thresh: float = 0.008,
     trans_thresh: float = 0.004,
 ) -> ReintPlan:
-    """Pick the `budget` integrated frames whose optimized pose moved most
-    (or which became invalid). Delta metric = rotation angle + translation
-    norm, as in the reference [M]."""
+    """Pick the `budget` frames most in need of fusion work. Three classes,
+    by priority:
+
+      1. *invalidated*: integrated but no longer part of a valid chunk —
+         de-integrate only (reference: TrajectoryManager's invalidated list);
+      2. *missing*: part of a valid chunk but not integrated — integrate only.
+         This is how frames of a chunk **revalidated** after relocalization
+         (SURVEY.md §0 item 4) get their geometry back, within the same
+         budgeted mechanism;
+      3. *moved*: integrated with a pose that has since drifted past the
+         thresholds — de-integrate at the old pose, re-integrate at the new,
+         worst drift first. Delta metric = rotation angle + translation norm,
+         as in the reference [M].
+    """
     ang, dist = se3.pose_distance(ts.integrated_pose, ts.opt_pose)
     delta = ang + dist
     moved = ts.integrated & ts.opt_valid & (
         (ang > rot_thresh) | (dist > trans_thresh)
     )
     invalidated = ts.integrated & ~ts.opt_valid
-    score = jnp.where(invalidated, jnp.inf, jnp.where(moved, delta, -jnp.inf))
+    missing = ~ts.integrated & ts.opt_valid
+    score = jnp.where(
+        invalidated,
+        jnp.inf,
+        jnp.where(missing, 1e6, jnp.where(moved, delta, -jnp.inf)),
+    )
     top, idx = jax.lax.top_k(score, budget)
     work = top > -jnp.inf
     return ReintPlan(
-        deint_frames=idx.astype(jnp.int32),
-        deint_mask=work,
-        reint_frames=idx.astype(jnp.int32),
-        reint_mask=work & ~invalidated[idx],
+        frames=idx.astype(jnp.int32),
+        deint_mask=work & ts.integrated[idx],
+        reint_mask=work & ts.opt_valid[idx],
         max_delta=jnp.max(jnp.where(jnp.isfinite(score), score, 0.0)),
     )
 

@@ -64,6 +64,19 @@ class AppConfig:
 
     # --- re-integration (TrajectoryManager budget) ---
     max_reintegrations_per_frame: int = 2  # frames de+re-integrated per step budget
+    # device-side cache of frames in wire format (uint16 mm / uint8) feeding
+    # de/re-integration; the host FrameStore holds ALL frames (the reference
+    # keeps every integrate-frame resident for exactly this reason), so the
+    # ring size bounds upload traffic, not which frames can be re-integrated
+    history_ring_frames: int = 1024
+    # integrate the bilateral-filtered depth (re-quantized to wire format so
+    # de-integration stays bit-exact) instead of the raw sensor depth; costs
+    # one device->host depth download per chunk (s_depthFilter analog for the
+    # reconstruction side)
+    integrate_filtered_depth: bool = False
+    # run TSDF garbage collection every N chunks (0 = never); reference GCs
+    # per frame (CUDASceneRepHashSDF garbage-collect pass)
+    gc_every_chunks: int = 8
 
     def validate(self) -> None:
         assert self.block_size == 8, "dense-block kernels are specialized to 8^3 blocks"

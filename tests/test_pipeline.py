@@ -30,10 +30,56 @@ def test_trajectory_manager_plan():
     ts = trajectory.mark_integrated(ts, jnp.int32(2), eye)
     ts = trajectory.update_optimized(ts, jnp.asarray([2]), eye[None], jnp.asarray([True]))
     plan = trajectory.plan_reintegration(ts, budget=4)
-    d = np.asarray(plan.deint_frames)[np.asarray(plan.deint_mask)]
-    r = np.asarray(plan.reint_frames)[np.asarray(plan.reint_mask)]
+    d = np.asarray(plan.frames)[np.asarray(plan.deint_mask)]
+    r = np.asarray(plan.frames)[np.asarray(plan.reint_mask)]
     assert set(d.tolist()) == {0, 1}
     assert set(r.tolist()) == {0}
+
+
+def test_reintegration_unbounded_history():
+    """Frames evicted from the device ring must still be re-integrable: the
+    host FrameStore re-uploads them on demand (reference: TrajectoryManager
+    corrects ANY past frame over multi-thousand-frame sequences)."""
+    seq = cached_sequence(21, width=128, height=96)
+    cfg = tiny_test_config()
+    cfg = dataclasses.replace(
+        cfg, app=dataclasses.replace(cfg.app, history_ring_frames=6)
+    )
+    rep = Replayer(SyntheticSource(seq), batch_size=4)
+    bf, out = run_sequence(rep, cfg, anchor_pose=seq.poses[0])
+    # frame 0 left the 6-slot ring long ago but is integrated
+    assert 0 not in bf._hist_slot
+    assert bool(bf.traj.integrated[0])
+    old_pose = np.asarray(bf.traj.integrated_pose[0])
+    # simulate a late loop-closure correction of frame 0's optimized pose
+    shifted = jnp.asarray(old_pose).at[0, 3].add(0.05)
+    bf.traj = trajectory.update_optimized(
+        bf.traj, jnp.asarray([0]), shifted[None], jnp.asarray([True])
+    )
+    n, _ = bf._reintegrate(budget=4)
+    assert n >= 1
+    assert bf._ring_uploads_chunk >= 1  # frame 0 came back from the host store
+    new_pose = np.asarray(bf.traj.integrated_pose[0])
+    assert np.allclose(new_pose, np.asarray(shifted), atol=1e-6)
+    assert bool(bf.traj.integrated[0])
+
+
+def test_reintegration_restores_invalidated_then_revalidated():
+    """De-integration of invalidated frames and integrate-only catch-up when
+    they become valid again (the geometry half of revalidation)."""
+    seq = cached_sequence(11, width=128, height=96)
+    cfg = tiny_test_config()
+    rep = Replayer(SyntheticSource(seq), batch_size=3)
+    bf, out = run_sequence(rep, cfg, anchor_pose=seq.poses[0])
+    assert bool(bf.traj.integrated[2])
+    # invalidate frame 2 -> planner should de-integrate it
+    bf.traj = bf.traj._replace(opt_valid=bf.traj.opt_valid.at[2].set(False))
+    bf._reintegrate(budget=4)
+    assert not bool(bf.traj.integrated[2])
+    # revalidate -> planner should integrate it back (integrate-only row)
+    bf.traj = bf.traj._replace(opt_valid=bf.traj.opt_valid.at[2].set(True))
+    bf._reintegrate(budget=4)
+    assert bool(bf.traj.integrated[2])
 
 
 @pytest.fixture(scope="module")
