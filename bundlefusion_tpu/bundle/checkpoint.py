@@ -28,6 +28,7 @@ def save_checkpoint(bf: BundleFusion, path: str) -> None:
         "traj": jax.tree.map(np.asarray, bf.traj),
         "hist_d16": np.asarray(bf._hist_d16),
         "hist_c8": np.asarray(bf._hist_c8),
+        "upd_masks": np.asarray(bf._upd_masks),
         "local_traj_dev": np.asarray(bf._local_traj_dev),
         "chunk_valid_dev": np.asarray(bf._chunk_valid_dev),
     }
@@ -82,6 +83,7 @@ def load_checkpoint(path: str) -> BundleFusion:
     bf._frame_store = host["frame_store"]
     bf._hist_d16 = jnp.asarray(dev["hist_d16"])
     bf._hist_c8 = jnp.asarray(dev["hist_c8"])
+    bf._upd_masks = jnp.asarray(dev["upd_masks"])
     bf._local_traj_dev = jnp.asarray(dev["local_traj_dev"])
     bf._chunk_valid_dev = jnp.asarray(dev["chunk_valid_dev"])
     return bf

@@ -67,6 +67,7 @@ def _publish_all(
 def _fuse_frames(
     table,
     traj: trajectory.TrajectoryState,
+    upd_masks: jax.Array,  # [F, cap] bool — per-frame recorded update masks
     hist_d16: jax.Array,  # [R, H, W] uint16 depth (mm, wire format)
     hist_c8: jax.Array,  # [R, H, W, 3] uint8 color
     slots: jax.Array,  # [B] ring slots
@@ -81,14 +82,19 @@ def _fuse_frames(
     de-integration of invalidated frames, and integrate-only revalidation
     catch-up. Frames are dequantized from the wire-format ring on device; the
     dequantization is elementwise and deterministic, so a frame re-uploaded
-    from the host FrameStore de-integrates bit-exactly. Returns
-    (table, traj, alloc_overflow)."""
+    from the host FrameStore de-integrates bit-exactly. De-integration uses
+    the update mask recorded at integrate time (tsdf.FuseDiag.upd_mask), so
+    it subtracts exactly what was added even under allocation overflow.
+    Returns (table, traj, upd_masks, FuseDiag)."""
     depth = hist_d16[slots].astype(jnp.float32) * 1e-3
     color = hist_c8[slots].astype(jnp.float32) * (1.0 / 255.0)
     old_poses = traj.integrated_pose[frame_ids]
     new_poses = traj.opt_pose[frame_ids]
-    table = tsdf.deintegrate_batch(table, depth, color, old_poses, deint_valid, cam, cfg)
-    table, overflow = tsdf.integrate_batch(
+    table = tsdf.deintegrate_batch(
+        table, depth, color, old_poses, deint_valid, cam, cfg,
+        upd_masks=upd_masks[frame_ids],
+    )
+    table, diag = tsdf.integrate_batch(
         table, depth, color, new_poses, reint_valid, cam, cfg
     )
     sentinel = traj.opt_pose.shape[0]  # out-of-range scatter ids are dropped
@@ -99,7 +105,8 @@ def _fuse_frames(
         integrated_pose=traj.integrated_pose.at[reint_ids].set(new_poses),
         integrated=traj.integrated.at[reint_ids].set(True),
     )
-    return table, traj, overflow
+    upd_masks = upd_masks.at[reint_ids].set(diag.upd_mask)
+    return table, traj, upd_masks, diag
 
 
 @jax.jit
@@ -186,6 +193,11 @@ class BundleFusion:
         self._frame_store: dict[int, tuple[np.ndarray, np.ndarray]] = {}
         self._ring_uploads_chunk = 0
         self._gc_jit = jax.jit(blocks.garbage_collect)
+        # per-frame update-block masks recorded at integrate time; required
+        # for exact de-integration under allocation overflow (tsdf.FuseDiag)
+        self._upd_masks = jnp.zeros(
+            (bc.max_frames, ac.blocks_per_frame_cap), bool
+        )
         self._local_trajs: list[np.ndarray] = []  # per chunk [S+1, 4, 4] (host copy)
         self._chunk_valid: list[bool] = []
         # device-side fixed-capacity local-trajectory store: growing shapes
@@ -377,12 +389,13 @@ class BundleFusion:
         for i, f in zip(new_local, new_ids):
             self._frame_store[f] = (d16_host[i], color[i])
 
-        overflow_dev = None
+        diag = None
         if integrate_now:
             with self.timing.stage("integrate", block=(lambda: self.table.weight) if self.profile else None):
-                self.table, self.traj, overflow_dev = _fuse_frames(
+                self.table, self.traj, self._upd_masks, diag = _fuse_frames(
                     self.table,
                     self.traj,
+                    self._upd_masks,
                     self._hist_d16,
                     self._hist_c8,
                     slots_a,
@@ -431,7 +444,8 @@ class BundleFusion:
             tracking_lost=self.tracking_lost,
             active_blocks=int(self.table.num_active()),
             corr_cursor=int(self.graph.corr_cursor),
-            alloc_overflow=int(overflow_dev) if overflow_dev is not None else 0,
+            alloc_overflow=int(diag.overflow) if diag is not None else 0,
+            patch_overflow=int(diag.patch_overflow) if diag is not None else 0,
             reint_frames=n_reint,
             reint_overflow=reint_overflow,
             gc_freed=int(freed) if freed is not None else 0,
@@ -538,9 +552,10 @@ class BundleFusion:
         deint_p = np.array(deint + [False] * pad)
         reint_p = np.array(reint + [False] * pad)
         with self.timing.stage("reint_apply", block=(lambda: self.table.weight) if self.profile else None):
-            self.table, self.traj, overflow = _fuse_frames(
+            self.table, self.traj, self._upd_masks, diag = _fuse_frames(
                 self.table,
                 self.traj,
+                self._upd_masks,
                 self._hist_d16,
                 self._hist_c8,
                 jnp.asarray(slots_p),
@@ -550,7 +565,7 @@ class BundleFusion:
                 self.cam,
                 self.config.app,
             )
-        return len(ids), int(overflow)
+        return len(ids), int(diag.overflow)
 
     # ------------------------------------------------------------------
     # outputs

@@ -37,14 +37,22 @@ INVALID_KEY = jnp.int32(1 << 30)  # sorts after every valid key
 
 
 class BlockTable(NamedTuple):
-    """Fixed-capacity block pool with a sorted key index."""
+    """Fixed-capacity block pool with a sorted key index.
+
+    The voxel data arrays carry **one extra scratch row** at index
+    ``capacity``: kernels route masked/not-found update rows there instead of
+    aliasing data slot 0, so a masked row can never collide with a real update
+    in the same (unordered/pipelined) scatter. The scratch row's content is
+    garbage by design and is never read by lookup-driven consumers (``lookup``
+    only returns slots < capacity).
+    """
 
     keys: jax.Array  # [C] int32 sorted packed coords; INVALID_KEY = empty entry
     slot_of: jax.Array  # [C] int32 data slot per sorted index entry (permutation)
     key_of_slot: jax.Array  # [C] int32 packed coord per data slot (INVALID = free)
-    sdf: jax.Array  # [C, 8, 8, 8] float32 truncated signed distance (meters)
-    weight: jax.Array  # [C, 8, 8, 8] float32 integration weight (0 = unobserved)
-    color: jax.Array  # [C, 8, 8, 8, 3] float32 weight-scaled color accumulator
+    sdf: jax.Array  # [C+1, 8, 8, 8] float32 truncated signed distance (meters)
+    weight: jax.Array  # [C+1, 8, 8, 8] float32 integration weight (0 = unobserved)
+    color: jax.Array  # [C+1, 8, 8, 8, 3] float32 weight-scaled color accumulator
 
     @property
     def capacity(self) -> int:
@@ -59,9 +67,9 @@ def make_table(capacity: int) -> BlockTable:
         keys=jnp.full((capacity,), INVALID_KEY, dtype=jnp.int32),
         slot_of=jnp.arange(capacity, dtype=jnp.int32),
         key_of_slot=jnp.full((capacity,), INVALID_KEY, dtype=jnp.int32),
-        sdf=jnp.zeros((capacity, BLOCK, BLOCK, BLOCK), jnp.float32),
-        weight=jnp.zeros((capacity, BLOCK, BLOCK, BLOCK), jnp.float32),
-        color=jnp.zeros((capacity, BLOCK, BLOCK, BLOCK, 3), jnp.float32),
+        sdf=jnp.zeros((capacity + 1, BLOCK, BLOCK, BLOCK), jnp.float32),
+        weight=jnp.zeros((capacity + 1, BLOCK, BLOCK, BLOCK), jnp.float32),
+        color=jnp.zeros((capacity + 1, BLOCK, BLOCK, BLOCK, 3), jnp.float32),
     )
 
 
@@ -188,7 +196,9 @@ def garbage_collect(table: BlockTable) -> tuple[BlockTable, jax.Array]:
     them keeps capacity for new geometry. Only the index re-sorts; freed
     slots' data is zeroed lazily on reuse. Returns (table, num_freed).
     """
-    occupied_slot = jnp.any(table.weight > 0.0, axis=(1, 2, 3))  # per data slot
+    occupied_slot = jnp.any(
+        table.weight[: table.capacity] > 0.0, axis=(1, 2, 3)
+    )  # per data slot (exclude the scratch row)
     live_slot = occupied_slot & (table.key_of_slot != INVALID_KEY)
     freed = jnp.sum((table.key_of_slot != INVALID_KEY) & ~occupied_slot)
     key_of_slot = jnp.where(live_slot, table.key_of_slot, INVALID_KEY)
@@ -208,8 +218,9 @@ def free_slots_by_mask(table: BlockTable, dead_slot_mask: jax.Array) -> BlockTab
     """Free an explicit set of data slots (used by the streaming layer)."""
     key_of_slot = jnp.where(dead_slot_mask, INVALID_KEY, table.key_of_slot)
     order = jnp.argsort(key_of_slot, stable=True)
-    # zero weights so occupancy scans can't see stale data
-    weight = jnp.where(dead_slot_mask[:, None, None, None], 0.0, table.weight)
+    # zero weights so occupancy scans can't see stale data (scratch row spared)
+    dead_p = jnp.concatenate([dead_slot_mask, jnp.zeros((1,), bool)])
+    weight = jnp.where(dead_p[:, None, None, None], 0.0, table.weight)
     return table._replace(
         keys=key_of_slot[order],
         slot_of=order.astype(jnp.int32),

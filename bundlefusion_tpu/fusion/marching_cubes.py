@@ -183,7 +183,9 @@ def extract_mesh(
     """Mesh all occupied blocks, chunked (host loop) like the reference's
     chunked MC. Returns (vertices [V, 3], colors [V, 3], faces [F, 3])."""
     keys = np.asarray(table.key_of_slot)
-    occupied = np.asarray(jnp.any(table.weight > 0, axis=(1, 2, 3))) & (keys != int(INVALID_KEY))
+    occupied = np.asarray(
+        jnp.any(table.weight[: table.capacity] > 0, axis=(1, 2, 3))
+    ) & (keys != int(INVALID_KEY))
     slots_all = np.nonzero(occupied)[0].astype(np.int32)
     v_out, c_out = [], []
     for start in range(0, len(slots_all), block_batch):

@@ -188,9 +188,9 @@ def integrate_blocks_pallas(
     from .blocks import unpack_key
 
     b = slots.shape[0]
-    cap = table.capacity
+    rows = table.sdf.shape[0]  # capacity + 1 (scratch row for masked slots)
     w2c = se3.mat_inverse(pose_c2w)
-    coords = unpack_key(table.key_of_slot[slots])  # [B, 3]
+    coords = unpack_key(table.key_of_slot[slots])  # [B, 3] (masked rows: garbage)
 
     # per-block patch origin: min projected pixel of the block's corner AABB
     ctr = (coords.astype(jnp.float32) + 0.5) * (BLOCK * cfg.voxel_size)
@@ -225,10 +225,10 @@ def integrate_blocks_pallas(
 
     # 2D pool layouts: [C, 512] tiles to (8,128) with zero padding waste; the
     # color pool moves to planar [C, 3*512] at this boundary (one transpose)
-    sdf_r = table.sdf.reshape(cap, 4, 128)
-    w_r = table.weight.reshape(cap, 4, 128)
-    col_r = jnp.transpose(table.color.reshape(cap, _NVOX, 3), (0, 2, 1)).reshape(
-        cap, 12, 128
+    sdf_r = table.sdf.reshape(rows, 4, 128)
+    w_r = table.weight.reshape(rows, 4, 128)
+    col_r = jnp.transpose(table.color.reshape(rows, _NVOX, 3), (0, 2, 1)).reshape(
+        rows, 12, 128
     )
 
     kernel = functools.partial(
@@ -276,7 +276,7 @@ def integrate_blocks_pallas(
         slots, coords[:, 0], coords[:, 1], coords[:, 2], mask_i, u0, v0,
         params, dimg, rimg, gimg, bimg, sdf_r, w_r, col_r,
     )
-    col_back = jnp.transpose(col.reshape(cap, 3, _NVOX), (0, 2, 1))
+    col_back = jnp.transpose(col.reshape(rows, 3, _NVOX), (0, 2, 1))
     return table._replace(
         sdf=sdf.reshape(table.sdf.shape),
         weight=wgt.reshape(table.weight.shape),

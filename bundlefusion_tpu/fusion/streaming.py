@@ -68,7 +68,7 @@ def stream_out(
     Returns (table with those slots freed+compacted, number streamed out).
     """
     d = _block_distance_to(table.key_of_slot, jnp.asarray(camera_pos, jnp.float32), cfg.voxel_size)
-    occupied = jnp.any(table.weight > 0, axis=(1, 2, 3))
+    occupied = jnp.any(table.weight[: table.capacity] > 0, axis=(1, 2, 3))
     far = (d > cfg.streaming_radius) & occupied & (table.key_of_slot != INVALID_KEY)
     score = jnp.where(far, d, -jnp.inf)
     top, idx = jax.lax.top_k(score, max_out)

@@ -40,6 +40,23 @@ def truncation_at(depth: jax.Array, cfg: AppConfig) -> jax.Array:
     return cfg.truncation + cfg.truncation_scale * depth
 
 
+class FuseDiag(NamedTuple):
+    """Integration diagnostics (SURVEY.md §7 hard part 1: overflow counters
+    surfaced in metrics — nothing saturates silently).
+
+    ``upd_mask`` records which rows of the frame's deterministic update-key
+    list actually updated the table; a later de-integration must AND it in so
+    it subtracts exactly what was added even if the table has since grown
+    (allocation overflow at integrate time would otherwise break exactness).
+    """
+
+    overflow: jax.Array  # int32 — block allocations dropped (pool full / union cap)
+    patch_overflow: jax.Array  # int32 — update blocks whose projected extent
+    # exceeded the sampling patch window (their out-of-window voxels were
+    # skipped; happens for blocks very close to the camera)
+    upd_mask: jax.Array  # [cap] (or [B, cap]) bool — rows actually updated
+
+
 def frame_alloc_keys(
     depth: jax.Array,  # [H, W]
     pose_c2w: jax.Array,  # [4, 4]
@@ -199,13 +216,63 @@ def _integrate_blocks(
     )
 
 
+def _use_pallas(cfg: AppConfig) -> bool:
+    return cfg.use_pallas_tsdf and jax.default_backend() == "tpu"
+
+
+def _patch_window(cfg: AppConfig) -> tuple[int, int]:
+    """Guaranteed (u, v) sampling-window extent of the active kernel: a block
+    whose projection spans more than this loses its out-of-window voxels."""
+    if _use_pallas(cfg):
+        from .pallas_tsdf import _PATCH_U, _PATCH_V
+
+        # origin alignment (x128 cols / x8 rows) can waste up to 127/7 px,
+        # plus the 2 px origin margin
+        return _PATCH_U - 127 - 2, _PATCH_V - 7 - 2
+    return 128, 128  # XLA path: origin at the min projected pixel
+
+
+def patch_overflow_count(
+    slots: jax.Array,  # [B]
+    mask: jax.Array,  # [B]
+    table: BlockTable,
+    pose_c2w: jax.Array,
+    cam: CameraModel,
+    cfg: AppConfig,
+) -> jax.Array:
+    """Count update blocks whose projected corner AABB exceeds the kernel's
+    sampling window (VERDICT: the silent near-camera drop, now counted)."""
+    from .blocks import unpack_key
+
+    pu, pv = _patch_window(cfg)
+    w2c = se3.mat_inverse(pose_c2w)
+    coords = unpack_key(table.key_of_slot[jnp.clip(slots, 0, table.capacity - 1)])
+    ctr = (coords.astype(jnp.float32) + 0.5) * (BLOCK * cfg.voxel_size)
+    offs = jnp.asarray(
+        [[dx, dy, dz] for dx in (-0.5, 0.5) for dy in (-0.5, 0.5) for dz in (-0.5, 0.5)],
+        jnp.float32,
+    ) * (BLOCK * cfg.voxel_size)
+    corners = ctr[:, None, :] + offs[None]
+    pc = se3.transform_points(w2c, corners.reshape(-1, 3)).reshape(-1, 8, 3)
+    z = jnp.maximum(pc[..., 2], 1e-3)
+    u = jnp.clip(pc[..., 0] / z * cam.fx + cam.cx, 0, cam.width - 1)
+    v = jnp.clip(pc[..., 1] / z * cam.fy + cam.cy, 0, cam.height - 1)
+    span_u = jnp.max(u, axis=1) - jnp.min(u, axis=1)
+    span_v = jnp.max(v, axis=1) - jnp.min(v, axis=1)
+    return jnp.sum(mask & ((span_u >= pu) | (span_v >= pv))).astype(jnp.int32)
+
+
 def _integrate_blocks_dispatch(
     slots, mask, table, depth, color, pose_c2w, cam, cfg, weight_sign
 ):
     """Choose the TPU Pallas kernel or the XLA fallback. The choice is static
     per trace (backend + config flag), so integrate and de-integrate always
-    run the SAME kernel within a run — exact reversibility depends on it."""
-    if cfg.use_pallas_tsdf and jax.default_backend() == "tpu":
+    run the SAME kernel within a run — exact reversibility depends on it.
+
+    Masked rows route to the pool's scratch row (slot == capacity) so their
+    writes can never collide with a real update of data slot 0."""
+    slots = jnp.where(mask, slots, table.capacity).astype(jnp.int32)
+    if _use_pallas(cfg):
         from .pallas_tsdf import integrate_blocks_pallas
 
         return integrate_blocks_pallas(
@@ -250,8 +317,8 @@ def integrate(
     pose_c2w: jax.Array,
     cam: CameraModel,
     cfg: AppConfig,
-) -> tuple[BlockTable, jax.Array]:
-    """Allocate + integrate one frame. Returns (table, alloc overflow count)."""
+) -> tuple[BlockTable, FuseDiag]:
+    """Allocate + integrate one frame. Returns (table, FuseDiag)."""
     from .blocks import allocate, dedup_keys
 
     keys = frame_alloc_keys(depth, pose_c2w, cam, cfg)
@@ -260,8 +327,9 @@ def integrate(
     upd_keys = dedup_keys(keys, cfg.blocks_per_frame_cap)
     table, overflow = allocate(table, upd_keys)
     slots, mask = _frame_update_set(table, depth, pose_c2w, cam, cfg, upd_keys)
+    p_ovf = patch_overflow_count(slots, mask, table, pose_c2w, cam, cfg)
     table = _integrate_blocks_dispatch(slots, mask, table, depth, color, pose_c2w, cam, cfg, +1.0)
-    return table, overflow
+    return table, FuseDiag(overflow=overflow, patch_overflow=p_ovf, upd_mask=mask)
 
 
 @functools.partial(jax.jit, static_argnames=("cam", "cfg"))
@@ -273,25 +341,34 @@ def integrate_batch(
     valid: jax.Array,  # [B] bool — skip invalid frames
     cam: CameraModel,
     cfg: AppConfig,
-) -> tuple[BlockTable, jax.Array]:
+) -> tuple[BlockTable, FuseDiag]:
     """Integrate a whole frame batch in ONE device program (lax.scan over
     frames) — one dispatch per chunk instead of one per frame, which matters
-    when host<->device latency is nontrivial. Returns (table, overflow sum).
+    when host<->device latency is nontrivial. Returns (table, FuseDiag) with
+    per-frame [B, cap] update masks.
 
     Allocation is amortized: the union of every frame's truncation-band keys
     is sorted/merged into the pool ONCE, then the per-frame scan only computes
     update sets and runs the integrate kernel. (Per-frame update sets remain
     pure functions of (depth, pose) — de-integration exactness is untouched.)
+    Keys dropped by the union cap are counted in ``overflow`` (they would
+    otherwise vanish silently and the affected frames would under-integrate).
     """
     from .blocks import allocate, dedup_keys
 
     b = depths.shape[0]
+    union_cap = cfg.blocks_per_frame_cap * 4
     all_keys = jax.vmap(
         lambda d, p, ok: jnp.where(
             ok, frame_alloc_keys(d, p, cam, cfg), INVALID_KEY
         )
     )(depths, poses, valid).reshape(-1)
-    union = dedup_keys(all_keys, cfg.blocks_per_frame_cap * 4)
+    s = jnp.sort(all_keys)
+    uniq_n = jnp.sum(
+        jnp.concatenate([jnp.array([True]), s[1:] != s[:-1]]) & (s != INVALID_KEY)
+    )
+    union_overflow = jnp.maximum(0, uniq_n - union_cap).astype(jnp.int32)
+    union = dedup_keys(all_keys, union_cap)
     table, overflow = allocate(table, union)
 
     def step(table, inp):
@@ -302,14 +379,27 @@ def integrate_batch(
                 frame_alloc_keys(depth, pose, cam, cfg), cfg.blocks_per_frame_cap
             )
             slots, mask = _frame_update_set(table, depth, pose, cam, cfg, upd_keys)
-            return _integrate_blocks_dispatch(
-                slots, mask, table, depth, color, pose, cam, cfg, +1.0
+            p_ovf = patch_overflow_count(slots, mask, table, pose, cam, cfg)
+            return (
+                _integrate_blocks_dispatch(
+                    slots, mask, table, depth, color, pose, cam, cfg, +1.0
+                ),
+                (mask, p_ovf),
             )
 
-        return jax.lax.cond(ok, do, lambda t: t, table), None
+        def skip(table):
+            return table, (jnp.zeros(cfg.blocks_per_frame_cap, bool), jnp.int32(0))
 
-    table, _ = jax.lax.scan(step, table, (depths, colors, poses, valid))
-    return table, overflow
+        return jax.lax.cond(ok, do, skip, table)
+
+    table, (upd_masks, p_ovfs) = jax.lax.scan(
+        step, table, (depths, colors, poses, valid)
+    )
+    return table, FuseDiag(
+        overflow=overflow + union_overflow,
+        patch_overflow=jnp.sum(p_ovfs).astype(jnp.int32),
+        upd_mask=upd_masks,
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("cam", "cfg"))
@@ -320,10 +410,18 @@ def deintegrate(
     pose_c2w: jax.Array,
     cam: CameraModel,
     cfg: AppConfig,
+    upd_mask: jax.Array | None = None,
 ) -> BlockTable:
     """Exactly remove a frame's contribution (must use the same pose/depth it
-    was integrated with). No allocation: blocks must already exist."""
+    was integrated with). No allocation: blocks must already exist.
+
+    Pass the ``FuseDiag.upd_mask`` recorded at integrate time: a block the
+    frame FAILED to update then (allocation overflow) may exist NOW — without
+    the recorded mask we would subtract a contribution that was never added.
+    """
     slots, mask = _frame_update_set(table, depth, pose_c2w, cam, cfg)
+    if upd_mask is not None:
+        mask = mask & upd_mask
     return _integrate_blocks_dispatch(slots, mask, table, depth, color, pose_c2w, cam, cfg, -1.0)
 
 
@@ -336,17 +434,23 @@ def deintegrate_batch(
     valid: jax.Array,  # [B] bool
     cam: CameraModel,
     cfg: AppConfig,
+    upd_masks: jax.Array | None = None,  # [B, cap] recorded at integrate time
 ) -> BlockTable:
     """Batched exact removal (scan over frames; one dispatch per batch)."""
+    if upd_masks is None:
+        upd_masks = jnp.ones((depths.shape[0], cfg.blocks_per_frame_cap), bool)
 
     def step(table, inp):
-        depth, color, pose, ok = inp
+        depth, color, pose, ok, rec = inp
 
         def do(t):
             slots, mask = _frame_update_set(t, depth, pose, cam, cfg)
+            mask = mask & rec
             return _integrate_blocks_dispatch(slots, mask, t, depth, color, pose, cam, cfg, -1.0)
 
         return jax.lax.cond(ok, do, lambda t: t, table), None
 
-    table, _ = jax.lax.scan(step, table, (depths, colors, poses, valid))
+    table, _ = jax.lax.scan(
+        step, table, (depths, colors, poses, valid, upd_masks)
+    )
     return table

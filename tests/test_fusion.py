@@ -95,7 +95,7 @@ def fused_scene():
     seq = cached_sequence(8, width=64, height=48)
     table = blocks.make_table(APP.block_capacity)
     for i in range(8):
-        table, overflow = tsdf.integrate(
+        table, diag = tsdf.integrate(
             table,
             jnp.asarray(seq.depth[i]),
             jnp.asarray(seq.color[i]),
@@ -103,7 +103,7 @@ def fused_scene():
             seq.camera,
             APP,
         )
-        assert int(overflow) == 0
+        assert int(diag.overflow) == 0
     return seq, table
 
 
@@ -158,6 +158,67 @@ def test_deintegrate_reintegrate_identity(fused_scene):
     np.testing.assert_allclose(np.asarray(t3.sdf), np.asarray(table.sdf), atol=1e-6)
 
 
+def test_deintegrate_exact_under_alloc_overflow():
+    """A frame that failed to allocate some of its blocks (pool full) must NOT
+    subtract from those blocks when de-integrated later, even though they
+    exist by then (another frame allocated them). FuseDiag.upd_mask records
+    what was actually added; deintegrate ANDs it in."""
+    seq = cached_sequence(8, width=64, height=48)
+    d, c, T = jnp.asarray(seq.depth[0]), jnp.asarray(seq.color[0]), jnp.asarray(seq.poses[0])
+
+    # how many blocks does this frame want?
+    free_table, _ = tsdf.integrate(blocks.make_table(2048), d, c, T, seq.camera, APP)
+    n_want = int(free_table.num_active())
+    assert n_want > 8
+
+    # leave only half the needed capacity free (pad with far-away dummies)
+    cap = n_want + n_want // 2
+    n_dummy = cap - n_want // 2
+    g = np.arange(n_dummy)
+    dummy = np.stack([g % 16 + 300, g // 16 + 300, np.zeros_like(g)], -1).astype(np.int32)
+    table = blocks.make_table(cap)
+    table, ovf = blocks.allocate(table, blocks.pack_key(jnp.asarray(dummy)))
+    assert int(ovf) == 0
+
+    table1, diag1 = tsdf.integrate(table, d, c, T, seq.camera, APP)
+    assert int(diag1.overflow) > 0  # some of the frame's blocks were dropped
+    n_upd1 = int(jnp.sum(diag1.upd_mask))
+
+    # dummies are weight-0 -> GC frees them; now the frame's missing blocks fit
+    table2, freed = blocks.garbage_collect(table1)
+    # >= : blocks allocated by the frame whose voxels all missed the update
+    # window end weight-0 and are legitimately freed too
+    assert int(freed) >= n_dummy
+    table3, diag2 = tsdf.integrate(table2, d, c, T, seq.camera, APP)
+    assert int(diag2.overflow) == 0
+
+    # de-integrate the FIRST pass with its recorded mask: every surviving
+    # block must hold exactly one frame's contribution (= fresh single pass)
+    table4 = tsdf.deintegrate(
+        table3, d, c, T, seq.camera, APP, upd_mask=diag1.upd_mask
+    )
+    ref, _ = tsdf.integrate(blocks.make_table(cap), d, c, T, seq.camera, APP)
+    keys = np.asarray(ref.keys)
+    keys = keys[keys != int(blocks.INVALID_KEY)]
+    s_ref, f_ref = blocks.lookup(ref, jnp.asarray(keys))
+    s_got, f_got = blocks.lookup(table4, jnp.asarray(keys))
+    assert bool(jnp.all(f_ref)) and bool(jnp.all(f_got))
+    np.testing.assert_array_equal(
+        np.asarray(table4.weight[s_got]), np.asarray(ref.weight[s_ref])
+    )
+    np.testing.assert_allclose(
+        np.asarray(table4.sdf[s_got]), np.asarray(ref.sdf[s_ref]), atol=1e-6
+    )
+
+    # sanity: WITHOUT the recorded mask the subtraction corrupts the blocks
+    bad = tsdf.deintegrate(table3, d, c, T, seq.camera, APP)
+    s_bad, _ = blocks.lookup(bad, jnp.asarray(keys))
+    assert not np.array_equal(
+        np.asarray(bad.weight[s_bad]), np.asarray(ref.weight[s_ref])
+    )
+    assert n_upd1 < n_want  # the mask really was partial
+
+
 def test_integrate_deintegrate_to_empty():
     seq = cached_sequence(8, width=64, height=48)
     table = blocks.make_table(2048)
@@ -204,10 +265,12 @@ def _make_sphere_table(radius=0.3, center=(0.0, 0.0, 0.0), voxel=0.02):
     assert int(overflow) == 0
     ctr = jnp.asarray(center, jnp.float32)
     # fill voxels (data arrays are indexed by DATA slot -> use key_of_slot)
-    bc = blocks.unpack_key(table.key_of_slot)
-    centers = jax.vmap(lambda b: blocks.voxel_centers(b, voxel))(bc)  # [C,8,8,8,3]
+    # data arrays carry a scratch row at index capacity; pad the slot keys
+    kos = jnp.concatenate([table.key_of_slot, jnp.asarray([blocks.INVALID_KEY])])
+    bc = blocks.unpack_key(kos)
+    centers = jax.vmap(lambda b: blocks.voxel_centers(b, voxel))(bc)  # [C+1,8,8,8,3]
     sdf = jnp.linalg.norm(centers - ctr, axis=-1) - radius
-    active = (table.key_of_slot != blocks.INVALID_KEY)[:, None, None, None]
+    active = (kos != blocks.INVALID_KEY)[:, None, None, None]
     near = jnp.abs(sdf) < 0.08
     w = jnp.where(active & near, 1.0, 0.0)
     table = table._replace(
