@@ -165,6 +165,18 @@ def process_chunk(
         p_b=pb_f.reshape(-1, 3),
         weight=(fm.valid & filt.pair_valid[:, None]).reshape(-1).astype(jnp.float32),
     )
+    # cap the local sparse system at the configured residual capacity
+    # (s_maxNumResidualsLocal analog): keep the best-descriptor-distance
+    # correspondences; this also bounds the solver's per-chunk matmul sizes
+    if corrs.weight.shape[0] > cfg.max_residuals_local:
+        score = jnp.where(
+            corrs.weight > 0, -(fm.dist.reshape(-1)), -jnp.inf
+        )
+        _, keep = jax.lax.top_k(score, cfg.max_residuals_local)
+        corrs = jax.tree.map(lambda x: x[keep], corrs)
+        corrs = corrs._replace(
+            weight=jnp.where(jnp.isfinite(score[keep]), corrs.weight, 0.0)
+        )
 
     # --- initial local poses: chain the pairwise filter transforms along
     # consecutive frames (T maps a-cam -> b-cam; frame i in chunk coords =
@@ -212,11 +224,14 @@ def process_chunk(
     T_ij = jnp.einsum(
         "nij,njk->nik", se3m.mat_inverse(solved[1:]), solved[:-1]
     )  # solved relative transform i -> i+1 camera coords
-    ok_f, ov = jax.vmap(
+    v = jax.vmap(
         lambda ca_, cb_, T_: filters.dense_verify(ca_, cb_, T_, cache_cam, cfg)
     )(c_i, c_j, T_ij)
+    # reference opt-verification (s_verifyOptErrThresh / s_verifyOptCorrThresh):
+    # accept the solve only if the mean projective depth error stays below the
+    # error threshold AND enough of the frame has verified correspondences
     opt_ok = jnp.all(
-        (ok_f > cfg.verify_ok_fraction) & (ov > cfg.verify_min_overlap)
+        (v.err < cfg.verify_opt_err_thresh) & (v.corr > cfg.verify_opt_corr_thresh)
     )
     chunk_valid = chain_ok & opt_ok
 

@@ -50,8 +50,13 @@ class AppConfig:
     integration_weight_sample: float = 1.0  # per-frame integration weight (s_SDFIntegrationWeightSample)
 
     # --- streaming (out-of-core; config-5 scale) ---
-    streaming_enabled: bool = False
+    streaming_enabled: bool = True
     streaming_radius: float = 4.0  # active-volume radius around camera (s_streamingRadius)
+    streaming_chunk_blocks: int = 16  # coarse chunk-grid cell edge, in blocks
+    # stream-out engages only past this device-pool occupancy fraction, so
+    # small scenes never pay host traffic; stream-in runs whenever the host
+    # store holds blocks near the camera
+    streaming_watermark: float = 0.5
 
     # --- raycast / preview ---
     raycast_width: int = 320
@@ -141,9 +146,15 @@ class BundlingConfig:
     dense_normal_thresh: float = 0.97  # s_denseNormalThresh
     dense_color_thresh: float = 0.1  # s_denseColorThresh
     dense_color_grad_min: float = 0.005  # s_denseColorGradientMin
-    dense_overlap_check: bool = True
+    dense_overlap_check: bool = True  # gate global dense pairs on the dense-verify filter
     use_dense_local: bool = True  # dense terms in intra-chunk BA
     use_dense_global: bool = False  # reference: dense global optional (s_useGlobalDenseOpt)
+    dense_pairs_per_kf: int = 8  # global dense pairs appended per new keyframe
+    max_dense_pairs_global: int = 4096  # capacity of the global dense-pair list
+    # ramp the dense weights across GN iterations (reference ramps
+    # weightDenseDepth/Color per nonlinear iteration [M]): iteration i of n
+    # uses weight * (i+1)/n, so sparse terms dominate early, dense refine late
+    dense_weight_ramp: bool = True
 
     # --- residual pruning (post-solve) ---
     max_res_thresh: float = 0.16  # s_maxKabschResidual2-equivalent removal threshold
@@ -227,7 +238,7 @@ def tiny_test_config() -> Config:
             raycast_width=64,
             raycast_height=48,
             raycast_max_steps=96,
-            mc_max_triangles=1 << 15,
+            mc_max_triangles=1 << 19,
         ),
         bundling=BundlingConfig(
             submap_size=4,

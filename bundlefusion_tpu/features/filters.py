@@ -33,6 +33,15 @@ from ..ops.preprocess import FrameCache, bilinear_sample_matmul
 from .matcher import PairMatches
 
 
+class VerifyStats(NamedTuple):
+    """Dense-verification statistics for one ordered frame pair."""
+
+    ok_frac: jax.Array  # agreeing / projected
+    overlap: jax.Array  # projected / valid
+    err: jax.Array  # mean projective depth error over projected pixels
+    corr: jax.Array  # agreeing / valid (verified-correspondence fraction)
+
+
 class FilterResult(NamedTuple):
     matches: PairMatches  # filtered, fixed capacity [..., Mf]
     transform: jax.Array  # [..., 4, 4] relative transform a->b frame (T_ba: p_b = T @ p_a)
@@ -105,12 +114,15 @@ def dense_verify(
     T_ba: jax.Array,  # [4, 4] maps a-camera points into b-camera space
     cam: CameraModel,  # cache-resolution intrinsics
     cfg: BundlingConfig,
-) -> tuple[jax.Array, jax.Array]:
+) -> "VerifyStats":
     """Project frame a's cached points into frame b and measure agreement.
 
-    Returns (ok_fraction, overlap_fraction): fraction of projected pixels that
-    agree in depth+normal+intensity, and fraction of a's valid pixels that
-    project into b at all. Symmetrized by the caller if desired.
+    Returns VerifyStats: fraction of projected pixels that agree in
+    depth+normal+intensity, fraction of a's valid pixels that project into b
+    at all, the mean projective depth error over projected pixels (the
+    reference's opt-verification error, s_verifyOptErrThresh), and the
+    fraction of valid pixels with a verified correspondence
+    (s_verifyOptCorrThresh). Symmetrized by the caller if desired.
     """
     pts_a = cache_a.points.reshape(-1, 3)
     valid_a = cache_a.depth.reshape(-1) > 0.0
@@ -144,7 +156,9 @@ def dense_verify(
     n_proj = jnp.sum(proj_ok)
     ok_frac = jnp.sum(agree) / jnp.maximum(n_proj, 1)
     overlap = n_proj / n_valid
-    return ok_frac, overlap
+    err = jnp.sum(jnp.where(proj_ok, dist, 0.0)) / jnp.maximum(n_proj, 1)
+    corr = jnp.sum(agree) / n_valid
+    return VerifyStats(ok_frac=ok_frac, overlap=overlap, err=err, corr=corr)
 
 
 def dense_verify_filter(
@@ -155,10 +169,10 @@ def dense_verify_filter(
     cfg: BundlingConfig,
 ) -> jax.Array:
     """Symmetric pass/fail dense verification for one pair."""
-    ok_ab, ov_ab = dense_verify(cache_a, cache_b, T_ba, cam, cfg)
-    ok_ba, ov_ba = dense_verify(cache_b, cache_a, se3.mat_inverse(T_ba), cam, cfg)
-    ok_frac = 0.5 * (ok_ab + ok_ba)
-    overlap = 0.5 * (ov_ab + ov_ba)
+    v_ab = dense_verify(cache_a, cache_b, T_ba, cam, cfg)
+    v_ba = dense_verify(cache_b, cache_a, se3.mat_inverse(T_ba), cam, cfg)
+    ok_frac = 0.5 * (v_ab.ok_frac + v_ba.ok_frac)
+    overlap = 0.5 * (v_ab.overlap + v_ba.overlap)
     return (ok_frac > cfg.verify_ok_fraction) & (overlap > cfg.verify_min_overlap)
 
 

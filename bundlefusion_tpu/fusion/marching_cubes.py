@@ -203,6 +203,16 @@ def extract_mesh(
         return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32)
     tris = np.concatenate(v_out)  # [F, 3, 3]
     cols = np.concatenate(c_out)
+    if len(tris) > cfg.mc_max_triangles:
+        # triangle-soup capacity (s_marchingCubesMaxNumTriangles analog)
+        import warnings
+
+        warnings.warn(
+            f"marching cubes: {len(tris)} triangles exceed mc_max_triangles="
+            f"{cfg.mc_max_triangles}; truncating", stacklevel=2
+        )
+        tris = tris[: cfg.mc_max_triangles]
+        cols = cols[: cfg.mc_max_triangles]
     nf = len(tris)
     verts = tris.reshape(-1, 3)
     colors = cols.reshape(-1, 3)

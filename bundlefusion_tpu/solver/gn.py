@@ -71,8 +71,14 @@ def solve_gn(
     the reference similarly reuses one set of kernels per nonlinear iteration.
     """
     n = poses.shape[0]
+    # per-iteration dense weight ramp (reference ramps weightDenseDepth/Color
+    # across nonlinear iterations): sparse aligns first, dense refines late
+    if cfg.dense_weight_ramp and gn_iters > 1:
+        ramp = (jnp.arange(gn_iters, dtype=jnp.float32) + 1.0) / gn_iters
+    else:
+        ramp = jnp.ones(gn_iters, jnp.float32)
 
-    def gn_iter(poses, _):
+    def gn_iter(poses, scale):
         sJtJ, sJtr, res_norms = sparse_corr_blocks(poses, problem.corrs, cfg.weight_sparse)
         idx_a = problem.corrs.img_a
         idx_b = problem.corrs.img_b
@@ -86,8 +92,8 @@ def solve_gn(
                 caches,
                 cache_cam,
                 cfg,
-                cfg.weight_dense_depth,
-                cfg.weight_dense_color,
+                cfg.weight_dense_depth * scale,
+                cfg.weight_dense_color * scale,
             )
             idx_a = jnp.concatenate([idx_a, problem.dense_pairs_a])
             idx_b = jnp.concatenate([idx_b, problem.dense_pairs_b])
@@ -111,7 +117,7 @@ def solve_gn(
         s = jnp.sum(problem.corrs.weight * res_norms**2)
         return poses, (s, dd, dc, sol.final_rz)
 
-    poses, (s, dd, dc, rz) = jax.lax.scan(gn_iter, poses, None, length=gn_iters)
+    poses, (s, dd, dc, rz) = jax.lax.scan(gn_iter, poses, ramp)
 
     _, _, final_norms = sparse_residuals(poses, problem.corrs)
     stats = SolveStats(
