@@ -102,15 +102,10 @@ def main() -> None:
     }
     # secondary diagnostics on stderr (driver parses stdout's single line);
     # covers the BASELINE.json metric set: fps, GN iters/sec, voxel updates/sec
-    chunks = bf.chunk_count
-    gn_iters = chunks * (
-        cfg.bundling.local_gn_iters * 2  # local solve+prune rounds
-        + cfg.bundling.global_gn_iters
-    )
-    # voxel updates: every integrated/deintegrated frame touches up to
-    # blocks_per_frame_cap blocks x 512 voxels
-    n_integrations = num_frames + bf.timing.counts.get("reint_apply", 0) * 2
-    voxel_updates = n_integrations * cfg.app.blocks_per_frame_cap * 512
+    # measured, not derived: GN iterations counted per executed solve; voxel
+    # updates = device-accumulated count of blocks actually written x 8^3
+    gn_iters = bf.gn_iters_executed
+    voxel_updates = float(bf.blocks_updated) * 512
     print(
         json.dumps(
             {

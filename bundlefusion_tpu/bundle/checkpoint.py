@@ -47,6 +47,9 @@ def save_checkpoint(bf: BundleFusion, path: str) -> None:
         "frame_store": bf._frame_store,
         "config_json": bf.config.to_json(),
         "camera": tuple(bf.cam),
+        "blocks_updated": float(bf.blocks_updated),
+        "gn_iters_executed": bf.gn_iters_executed,
+        "block_store": bf.block_store,
     }
     with open(path, "wb") as f:
         pickle.dump({"device": device_state, "host": host_state}, f)
@@ -86,4 +89,8 @@ def load_checkpoint(path: str) -> BundleFusion:
     bf._upd_masks = jnp.asarray(dev["upd_masks"])
     bf._local_traj_dev = jnp.asarray(dev["local_traj_dev"])
     bf._chunk_valid_dev = jnp.asarray(dev["chunk_valid_dev"])
+    bf.blocks_updated = jnp.float32(host.get("blocks_updated", 0.0))
+    bf.gn_iters_executed = host.get("gn_iters_executed", 0)
+    if host.get("block_store") is not None:
+        bf.block_store = host["block_store"]
     return bf

@@ -105,8 +105,15 @@ def _fuse_frames(
         integrated_pose=traj.integrated_pose.at[reint_ids].set(new_poses),
         integrated=traj.integrated.at[reint_ids].set(True),
     )
+    # measured block-update count (de-integration applies the recorded masks;
+    # integration's applied mask comes back in diag) — the honest
+    # voxel-updates metric, not a capacity-derived bound
+    blocks_touched = (
+        jnp.sum(upd_masks[frame_ids] & deint_valid[:, None])
+        + jnp.sum(diag.upd_mask)
+    ).astype(jnp.float32)
     upd_masks = upd_masks.at[reint_ids].set(diag.upd_mask)
-    return table, traj, upd_masks, diag
+    return table, traj, upd_masks, diag, blocks_touched
 
 
 @jax.jit
@@ -133,7 +140,11 @@ class BundleFusion:
         log_path: str | None = None,
         anchor_pose: np.ndarray | None = None,
         profile: bool = False,
+        mesh=None,
     ):
+        # mesh: optional jax.sharding.Mesh — when set, the global BA runs
+        # multi-chip (sharded assembly + row-sharded PCG, parallel/sharded_ba)
+        self.mesh = mesh
         # profile=True inserts a device sync after every stage so the timing
         # table attributes cost correctly; profile=False lets XLA queue the
         # whole chunk's programs back-to-back (async dispatch), which is the
@@ -161,6 +172,11 @@ class BundleFusion:
         self.num_frames = 0
         self.num_keyframes = 0
         self.chunk_count = 0
+        # measured work counters (BASELINE metrics are counted, not derived):
+        # device-side async accumulator of blocks actually updated by
+        # integrate/de-integrate, and host count of executed GN iterations
+        self.blocks_updated = jnp.float32(0.0)
+        self.gn_iters_executed = 0
         self.tracking_lost = False
         self.lost_chunks = 0
         self.consecutive_invalid = 0
@@ -211,7 +227,7 @@ class BundleFusion:
         # out-of-core streaming (CUDASceneRepChunkGrid analog; config-5 scale)
         from ..fusion.streaming import HostBlockStore
 
-        self.block_store = HostBlockStore()
+        self.block_store = HostBlockStore(chunk_blocks=ac.streaming_chunk_blocks)
 
         self.timing = TimingLog()
         self.runlog = RunLog(log_path)
@@ -281,6 +297,7 @@ class BundleFusion:
             )
             jax.block_until_ready(res.local_traj)
 
+        self.gn_iters_executed += bc.local_gn_iters * 2  # 2 solve+prune rounds
         chunk_valid = bool(res.chunk_valid)
         local_traj = np.asarray(res.local_traj)
         self._local_trajs.append(local_traj)
@@ -344,9 +361,17 @@ class BundleFusion:
                     self.tracking_lost = True
             if self.tracking_lost or not chunk_valid:
                 self.lost_chunks += 1
+        reval = 0
         if relinked:
             self.tracking_lost = False
             self.consecutive_invalid = 0
+            # relocalization succeeded: try to bring stale invalidated
+            # keyframes back into the graph (reference revalidates frames
+            # once the camera is found again, SURVEY.md §0 item 4); their
+            # frames re-enter the TSDF via the trajectory manager's
+            # integrate-only class on the next budgeted step
+            with self.timing.stage("revalidate"):
+                reval = self._revalidate_stale()
 
         # store LOCAL chunk validity only; keyframe validity comes live from
         # graph.valid at publish time, so a later revalidation of keyframe k
@@ -359,9 +384,15 @@ class BundleFusion:
         # --- global BA ---
         if self.num_keyframes > 1:
             with self.timing.stage("global_solve", block=(lambda: self.graph.poses) if self.profile else None):
-                self.graph, gstats, removed = global_graph.global_solve(
-                    self.graph, self.cache_cam, bc
-                )
+                if self.mesh is not None:
+                    self.graph, removed = global_graph.global_solve_sharded(
+                        self.graph, self.mesh, self.cache_cam, bc
+                    )
+                else:
+                    self.graph, gstats, removed = global_graph.global_solve(
+                        self.graph, self.cache_cam, bc
+                    )
+            self.gn_iters_executed += bc.global_gn_iters
 
         # --- publish optimized trajectory for all frames so far ---
         with self.timing.stage("publish", block=(lambda: self.traj.opt_pose) if self.profile else None):
@@ -392,7 +423,7 @@ class BundleFusion:
         diag = None
         if integrate_now:
             with self.timing.stage("integrate", block=(lambda: self.table.weight) if self.profile else None):
-                self.table, self.traj, self._upd_masks, diag = _fuse_frames(
+                self.table, self.traj, self._upd_masks, diag, nblk = _fuse_frames(
                     self.table,
                     self.traj,
                     self._upd_masks,
@@ -405,6 +436,7 @@ class BundleFusion:
                     self.cam,
                     ac,
                 )
+                self.blocks_updated = self.blocks_updated + nblk
 
         # --- budgeted re-integration (the paper's key trick) ---
         with self.timing.stage("reint_plan_apply"):
@@ -420,19 +452,32 @@ class BundleFusion:
 
         # --- out-of-core streaming: evict far blocks / restore near ones
         # around the current camera (reference: interleaved with integration) ---
+        active_blocks = int(self.table.num_active())
         if ac.streaming_enabled and integrate_now:
             from ..fusion import streaming
 
             cam_pos = np.asarray(self.graph.poses[k_idx])[:3, 3]
+            n_in = n_out = 0
             with self.timing.stage("streaming"):
-                self.table, n_in = streaming.stream_in(
-                    self.table, self.block_store, cam_pos, ac
-                )
-                self.table, n_out = streaming.stream_out(
-                    self.table, self.block_store, cam_pos, ac
-                )
-            self.runlog.log(chunk=c, stream_in=n_in, stream_out=n_out,
-                            host_blocks=len(self.block_store))
+                if len(self.block_store):
+                    self.table, n_in = streaming.stream_in(
+                        self.table,
+                        self.block_store,
+                        cam_pos,
+                        ac,
+                        free_capacity=ac.block_capacity - active_blocks,
+                    )
+                    active_blocks += n_in
+                # stream-out engages only past the occupancy watermark so
+                # small scenes never pay host traffic
+                if active_blocks > ac.streaming_watermark * ac.block_capacity:
+                    self.table, n_out = streaming.stream_out(
+                        self.table, self.block_store, cam_pos, ac
+                    )
+                    active_blocks -= n_out
+            if n_in or n_out:
+                self.runlog.log(chunk=c, stream_in=n_in, stream_out=n_out,
+                                host_blocks=len(self.block_store))
 
         self.runlog.log(
             chunk=c,
@@ -442,12 +487,13 @@ class BundleFusion:
             filtered_matches=int(np.asarray(res.num_matches).sum()),
             pairs_valid=int(np.asarray(res.pair_valid).sum()),
             tracking_lost=self.tracking_lost,
-            active_blocks=int(self.table.num_active()),
+            active_blocks=active_blocks,
             corr_cursor=int(self.graph.corr_cursor),
             alloc_overflow=int(diag.overflow) if diag is not None else 0,
             patch_overflow=int(diag.patch_overflow) if diag is not None else 0,
             reint_frames=n_reint,
             reint_overflow=reint_overflow,
+            revalidated=reval,
             gc_freed=int(freed) if freed is not None else 0,
             ring_uploads=self._ring_uploads_chunk,
         )
@@ -459,6 +505,44 @@ class BundleFusion:
 
     def _kf_valid(self, k: int) -> bool:
         return bool(self.graph.valid[k])
+
+    def _revalidate_stale(self, max_per_event: int = 8) -> int:
+        """Re-match stale invalidated keyframes against the whole valid graph
+        and revalidate the ones that link (relocalization aftermath). Returns
+        the number revalidated. Only keyframes whose chunk solved locally are
+        candidates — a chunk that failed its own local solve has no trusted
+        local trajectory to publish."""
+        bc = self.config.bundling
+        n_re = 0
+        # iterate to a fixpoint: a chunk that links only through a just-
+        # revalidated neighbor recovers in a later round (chains of stale
+        # chunks unwind one hop per round)
+        for _ in range(max(1, self.num_keyframes)):
+            valid_np = np.asarray(self.graph.valid[: self.num_keyframes])
+            stale = [
+                k
+                for k in range(self.num_keyframes)
+                if not valid_np[k] and self._chunk_valid[k]
+            ]
+            progressed = 0
+            for k in stale[:max_per_event]:
+                mres = global_graph.global_match(
+                    self.graph, jnp.int32(k), self.cache_cam, bc, against_all=True
+                )
+                self.graph = mres.graph
+                if bool(mres.any_valid):
+                    j = int(mres.best_prev)
+                    T_rel = mres.transforms[j]  # j-cam -> k-cam
+                    pose = self.graph.poses[j] @ se3.mat_inverse(T_rel)
+                    self.graph = self.graph._replace(
+                        poses=self.graph.poses.at[k].set(pose),
+                        valid=self.graph.valid.at[k].set(True),
+                    )
+                    progressed += 1
+            n_re += progressed
+            if not progressed:
+                break
+        return n_re
 
     def _publish_trajectory(self) -> None:
         """complete trajectory = keyframe pose ∘ local relative pose.
@@ -552,7 +636,7 @@ class BundleFusion:
         deint_p = np.array(deint + [False] * pad)
         reint_p = np.array(reint + [False] * pad)
         with self.timing.stage("reint_apply", block=(lambda: self.table.weight) if self.profile else None):
-            self.table, self.traj, self._upd_masks, diag = _fuse_frames(
+            self.table, self.traj, self._upd_masks, diag, nblk = _fuse_frames(
                 self.table,
                 self.traj,
                 self._upd_masks,
@@ -565,6 +649,7 @@ class BundleFusion:
                 self.cam,
                 self.config.app,
             )
+            self.blocks_updated = self.blocks_updated + nblk
         return len(ids), int(diag.overflow)
 
     # ------------------------------------------------------------------
@@ -581,6 +666,23 @@ class BundleFusion:
             while len(self._pending) < self.chunk_frames:
                 self._pending.append(last)
             self._maybe_process_chunk()
+        # end-of-sequence recovery: one final revalidation sweep + enough
+        # budgeted re-integration steps to drain the integrate-only backlog
+        if self.num_keyframes > 1:
+            if self._revalidate_stale():
+                if self.mesh is not None:
+                    self.graph, _ = global_graph.global_solve_sharded(
+                        self.graph, self.mesh, self.cache_cam, self.config.bundling
+                    )
+                else:
+                    self.graph, _, _ = global_graph.global_solve(
+                        self.graph, self.cache_cam, self.config.bundling
+                    )
+                self._publish_trajectory()
+                budget = self.config.app.max_reintegrations_per_frame * self.S
+                for _ in range(max(1, self.num_keyframes)):
+                    if self._reintegrate(budget)[0] == 0:
+                        break
 
     def current_poses(self) -> tuple[np.ndarray, np.ndarray]:
         n = self.num_frames
@@ -590,7 +692,41 @@ class BundleFusion:
         )
 
     def extract_mesh(self):
-        return marching_cubes.extract_mesh(self.table, self.config.app)
+        """Mesh the whole scene. Streaming-aware, like the reference's MC
+        variant that loops CPU-resident chunks: host-resident cold blocks are
+        paged through a scratch table batch-by-batch (without disturbing the
+        store), so the final mesh covers every room the camera visited, not
+        just the blocks currently on the device. Blocks meshed in different
+        batches can leave hairline cracks at their shared faces (the
+        reference's chunked MC has the same property)."""
+        ac = self.config.app
+        mesh_parts = [marching_cubes.extract_mesh(self.table, ac)]
+        if len(self.block_store):
+            batch = 2048
+            cap = ((batch + 127) // 128) * 128
+            for keys, sdf, wgt, col in self.block_store.snapshot_batches(batch):
+                t = blocks.make_table(cap)
+                t, _ = blocks.allocate(t, jnp.asarray(keys))
+                slots, found = blocks.lookup(t, jnp.asarray(keys))
+                t = t._replace(
+                    sdf=t.sdf.at[slots].set(jnp.asarray(sdf)),
+                    weight=t.weight.at[slots].set(jnp.asarray(wgt)),
+                    color=t.color.at[slots].set(jnp.asarray(col)),
+                )
+                mesh_parts.append(marching_cubes.extract_mesh(t, ac))
+        if len(mesh_parts) == 1:
+            return mesh_parts[0]
+        verts, cols, faces, off = [], [], [], 0
+        for v, c, f in mesh_parts:
+            verts.append(v)
+            cols.append(c)
+            faces.append(f + off)
+            off += len(v)
+        return (
+            np.concatenate(verts),
+            np.concatenate(cols),
+            np.concatenate(faces),
+        )
 
     def render_preview(self, pose: np.ndarray, width: int = 0, height: int = 0):
         ac = self.config.app

@@ -152,7 +152,12 @@ def test_pipeline_with_streaming(tmp_path):
 
     base = tiny_test_config()
     cfg = Config(
-        app=dataclasses.replace(base.app, streaming_enabled=True, streaming_radius=2.2),
+        app=dataclasses.replace(
+            base.app,
+            streaming_enabled=True,
+            streaming_radius=2.2,
+            streaming_watermark=0.0,  # stream by radius regardless of occupancy
+        ),
         bundling=base.bundling,
     )
     seq = cached_sequence(21, width=128, height=96)
@@ -192,3 +197,59 @@ def test_app_cli_sens_input(tmp_path):
     summary = json.loads((out / "summary.json").read_text())
     assert summary["frames"] >= 11
     assert summary["ate_rmse_m"] < 0.05  # GT poses came from the .sens header
+
+
+@pytest.mark.slow
+def test_streaming_multiroom_out_of_core():
+    """BASELINE config-5 scale: the camera walks a multi-room corridor whose
+    total block count exceeds the device pool; streaming pages cold rooms to
+    the host, tracking survives, and the final mesh covers every room."""
+    from bundlefusion_tpu.bundle.pipeline import run_sequence
+    from bundlefusion_tpu.config import Config, tiny_test_config
+    from bundlefusion_tpu.io.replayer import Replayer, SyntheticSource
+    from bundlefusion_tpu.io.synthetic import generate_corridor_sequence
+
+    base = tiny_test_config()
+    cfg = Config(
+        app=dataclasses.replace(
+            base.app,
+            streaming_enabled=True,
+            streaming_radius=1.8,
+            streaming_watermark=0.3,
+            block_capacity=2048,
+        ),
+        bundling=base.bundling,
+    )
+    seq = generate_corridor_sequence(81, width=128, height=96, x_span=2.5)
+    rep = Replayer(SyntheticSource(seq), batch_size=8)
+    bf, out = run_sequence(rep, cfg, anchor_pose=seq.poses[0])
+    assert out.tracking_lost_chunks == 0
+    device_blocks = int(bf.table.num_active())
+    host_blocks = len(bf.block_store)
+    assert host_blocks > 0, "cold rooms must be streamed to the host"
+    assert device_blocks + host_blocks > cfg.app.block_capacity, (
+        "scene must exceed the device pool for this test to mean anything"
+    )
+    verts, _, _ = bf.extract_mesh()
+    # mesh must span the whole walked corridor (start room through end room)
+    assert verts[:, 0].min() < 0.3 and verts[:, 0].max() > 2.5 + 1.0
+
+
+@pytest.mark.slow
+def test_pipeline_on_kinect_noise():
+    """SURVEY.md §7 hard part 4: thresholds must survive Kinect-style sensor
+    statistics (axial/lateral noise, disparity quantization, edge dropout,
+    exposure drift), not just exact renders."""
+    from bundlefusion_tpu.bundle.pipeline import run_sequence
+    from bundlefusion_tpu.config import tiny_test_config
+    from bundlefusion_tpu.eval.ate import ate_rmse
+    from bundlefusion_tpu.io.replayer import Replayer, SyntheticSource
+    from bundlefusion_tpu.io.synthetic import apply_sensor_noise, generate_sequence
+
+    seq = apply_sensor_noise(generate_sequence(21, width=128, height=96, radius=0.35))
+    rep = Replayer(SyntheticSource(seq), batch_size=8)
+    bf, out = run_sequence(rep, tiny_test_config(), anchor_pose=seq.poses[0])
+    assert out.tracking_lost_chunks == 0
+    n = min(len(out.poses), len(seq.poses))
+    ate = ate_rmse(out.poses[:n], seq.poses[:n], valid=out.valid[:n])
+    assert ate < 0.02, f"noisy-sensor ATE {ate*100:.2f} cm"

@@ -81,3 +81,73 @@ def test_relocalization_after_teleport():
     if sel.sum() >= 3:
         ate_tail = ate_rmse(out.poses[:n], seq.poses[:n], valid=sel)
         assert ate_tail < 0.04, f"post-relocalization ATE {ate_tail*100:.2f} cm"
+
+
+@pytest.mark.slow
+def test_dense_global_ba_tightens_loop():
+    """s_useGlobalDenseOpt analog: enabling dense terms in the global solve
+    must append dense keyframe pairs and not degrade (typically tighten) the
+    out-and-back loop-closure ATE vs sparse-only."""
+    import dataclasses
+
+    from bundlefusion_tpu.config import Config
+
+    seq = _out_and_back_sequence()
+    ates = {}
+    for dg in (False, True):
+        base = tiny_test_config()
+        cfg = Config(
+            app=base.app,
+            bundling=dataclasses.replace(base.bundling, use_dense_global=dg),
+        )
+        rep = Replayer(SyntheticSource(seq), batch_size=8)
+        bf, out = run_sequence(rep, cfg, anchor_pose=seq.poses[0])
+        n = min(len(out.poses), len(seq.poses))
+        ates[dg] = ate_rmse(out.poses[:n], seq.poses[:n], valid=out.valid[:n])
+        assert out.tracking_lost_chunks == 0
+        if dg:
+            assert int(bf.graph.dense_cursor) > 0, "dense pairs should accumulate"
+    assert ates[True] < 0.02
+    # dense refinement must not blow up the sparse solution
+    assert ates[True] <= ates[False] * 1.10 + 1e-4, ates
+
+
+@pytest.mark.slow
+def test_revalidation_recovers_invalidated_chunk():
+    """SURVEY.md §0 item 4: frames invalidated after the fact are
+    de-integrated; once the keyframe re-links (relocalization/revalidation),
+    the trajectory manager's integrate-only class restores their geometry."""
+    import jax.numpy as jnp
+
+    from bundlefusion_tpu.bundle.pipeline import BundleFusion
+
+    seq = generate_sequence(21, width=128, height=96, radius=0.35)
+    cfg = tiny_test_config()
+    bf = BundleFusion(seq.camera, cfg, anchor_pose=seq.poses[0])
+    for i in range(21):
+        bf.push_frame(seq.depth[i], seq.color[i])
+    bf.flush()
+    S = bf.S
+    k = 2  # victim keyframe; its chunk spans frames [2S, 3S]; the overlap
+    # frames 2S and 3S are shared with the (still-valid) neighbor chunks and
+    # legitimately stay integrated — only the exclusive interior de-integrates
+    frames = np.arange(2 * S + 1, 3 * S)
+    assert bool(np.asarray(bf.traj.integrated)[frames].all())
+
+    # post-opt invalidation (as max-residual pruning does): keyframe drops out
+    bf.graph = bf.graph._replace(valid=bf.graph.valid.at[k].set(False))
+    bf._publish_trajectory()
+    for _ in range(6):
+        bf._reintegrate(cfg.app.max_reintegrations_per_frame * S)
+    integ = np.asarray(bf.traj.integrated)[frames]
+    assert not integ.any(), f"invalidated frames must be de-integrated: {integ}"
+
+    # relocalization aftermath: revalidate stale keyframes, re-publish, drain
+    n_re = bf._revalidate_stale()
+    assert n_re >= 1, "stale keyframe should re-link against the graph"
+    assert bool(bf.graph.valid[k])
+    bf._publish_trajectory()
+    for _ in range(6):
+        bf._reintegrate(cfg.app.max_reintegrations_per_frame * S)
+    integ = np.asarray(bf.traj.integrated)[frames]
+    assert integ.all(), f"revalidated frames must be re-integrated: {integ}"
