@@ -28,10 +28,23 @@ def build_argparser() -> argparse.ArgumentParser:
     src.add_argument("--sens", help=".sens file to replay")
     src.add_argument("--tum", help="TUM sequence directory")
     src.add_argument("--synthetic", type=int, help="generate N synthetic frames")
+    src.add_argument(
+        "--input",
+        help="input path; the reader is selected by the app config's "
+        "sensor_idx, as the reference's getRGBDSensor(s_sensorIdx) does "
+        "(8 = .sens recording, 7 = image-directory/TUM)",
+    )
     p.add_argument("--out", default="out", help="output directory")
     p.add_argument("--batch", type=int, default=8, help="replayer batch size")
     p.add_argument("--width", type=int, default=320, help="synthetic width")
     p.add_argument("--height", type=int, default=240, help="synthetic height")
+    p.add_argument(
+        "--multiseq",
+        type=int,
+        default=0,
+        help="run N independent synthetic sequences data-parallel over an "
+        "N-device mesh (BASELINE config 5; requires --synthetic)",
+    )
     p.add_argument("--checkpoint-every", type=int, default=0, help="chunks between checkpoints (0=off)")
     p.add_argument("--preview-every", type=int, default=0, help="frames between preview PNGs (0=off)")
     p.add_argument("--no-mesh", action="store_true")
@@ -64,6 +77,26 @@ def main(argv=None) -> int:
                 verify_height=max(args.height // 4, 8),
             ),
         )
+
+    if args.input:
+        # getRGBDSensor(s_sensorIdx) analog: config decides the reader. Live
+        # sensor indices (0-6: Kinect/PrimeSense/...) are not ported — the
+        # north star drops live input (SURVEY.md §2.1 "Live sensors").
+        idx = cfg.app.sensor_idx
+        if idx == 8:
+            args.sens = args.input
+        elif idx == 7:
+            args.tum = args.input
+        else:
+            raise SystemExit(
+                f"sensor_idx={idx} is a live-sensor index; only recorded "
+                "inputs are supported (8 = .sens, 7 = image directory/TUM)"
+            )
+
+    if args.multiseq:
+        if not args.synthetic:
+            raise SystemExit("--multiseq requires --synthetic N")
+        return _run_multiseq(args, cfg)
 
     gt_poses = None
     if args.sens:
@@ -130,6 +163,40 @@ def main(argv=None) -> int:
         verts, colors, faces = bf.extract_mesh()
         ply.write_ply(os.path.join(args.out, "mesh.ply"), verts, colors, faces)
         summary["mesh_triangles"] = int(len(faces))
+    with open(os.path.join(args.out, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    print(json.dumps(summary, indent=2))
+    return 0
+
+
+def _run_multiseq(args, cfg) -> int:
+    """BASELINE config-5 CLI route: D synthetic sequences data-parallel over a
+    D-device mesh (virtual CPU devices stand in when fewer real chips exist)."""
+    from .eval.ate import ate_rmse
+    from .io import ply
+    from .io.synthetic import generate_sequence
+    from .parallel.mesh import make_mesh
+    from .parallel.spmd_pipeline import extract_mesh_for, run_sequences_sharded
+
+    d = args.multiseq
+    mesh = make_mesh(d)
+    seqs = [
+        generate_sequence(args.synthetic, width=args.width, height=args.height, seed=s)
+        for s in range(d)
+    ]
+    out = run_sequences_sharded(
+        seqs, mesh, cfg, anchor_poses=np.stack([s.poses[0] for s in seqs])
+    )
+    summary = {"sequences": d, "keyframes_per_seq": out.num_keyframes, "ate_rmse_m": {}}
+    for i in range(d):
+        n = min(out.poses.shape[1], len(seqs[i].poses))
+        summary["ate_rmse_m"][i] = ate_rmse(
+            out.poses[i, :n], seqs[i].poses[:n], valid=out.valid[i, :n]
+        )
+        np.save(os.path.join(args.out, f"trajectory_{i}.npy"), out.poses[i])
+    if not args.no_mesh:
+        verts, colors, faces = extract_mesh_for(out, 0, cfg)
+        ply.write_ply(os.path.join(args.out, "mesh_0.ply"), verts, colors, faces)
     with open(os.path.join(args.out, "summary.json"), "w") as f:
         json.dump(summary, f, indent=2)
     print(json.dumps(summary, indent=2))

@@ -159,3 +159,116 @@ def global_solve_sharded(
         new_poses = jnp.einsum("nij,njk->nik", upd, poses)
         poses = jnp.where(free_mask[:, None, None], new_poses, poses)
     return poses
+
+
+def _pad_to_multiple(x: jax.Array, d: int) -> jax.Array:
+    r = (-x.shape[0]) % d
+    if r == 0:
+        return x
+    return jnp.concatenate([x, jnp.zeros((r,) + x.shape[1:], x.dtype)])
+
+
+def solve_and_prune_sharded(
+    mesh: Mesh,
+    poses: jax.Array,  # [N, 4, 4]
+    problem,  # gn.GNProblem
+    caches,  # FrameCache [N, ...] (replicated) or None
+    cache_cam,
+    cfg: BundlingConfig,
+    gn_iters: int,
+    pcg_iters: int,
+    use_dense: bool = True,
+    prune_rounds: int = 1,
+    axis: str = "seq",
+):
+    """The multi-chip counterpart of ``gn.solve_and_prune`` — the PRODUCT
+    path the pipeline routes global BA through when a device mesh is
+    configured, not a demo: sparse + dense terms, per-iteration dense weight
+    ramp, and post-solve max-residual pruning.
+
+    Sharding plan (SURVEY.md §2.2 TP row):
+      * correspondences AND dense pairs are sharded over `axis`; each device
+        builds its partial normal equations, one `psum` makes them whole
+        (deterministic replacement of the reference's atomic accumulation);
+      * PCG runs row-sharded with `all_gather` matvecs;
+      * residual evaluation for pruning is replicated (tiny vs the solve).
+    Returns (poses, problem, total_removed) like the serial path.
+    """
+    from ..geometry import se3
+    from ..solver import gn as gn_mod
+
+    d = mesh.devices.size
+    n = poses.shape[0]
+    corrs0 = problem.corrs
+    corrs_p = jax.tree.map(lambda x: _pad_to_multiple(x, d), corrs0)
+    dp_a = _pad_to_multiple(problem.dense_pairs_a, d)
+    dp_b = _pad_to_multiple(problem.dense_pairs_b, d)
+    dp_on = _pad_to_multiple(problem.dense_pair_active, d)
+    r_real = corrs0.weight.shape[0]
+
+    if cfg.dense_weight_ramp and gn_iters > 1:
+        ramp = [(i + 1.0) / gn_iters for i in range(gn_iters)]
+    else:
+        ramp = [1.0] * gn_iters
+
+    def local_system(poses_l, corrs_l, dpa_l, dpb_l, don_l, free_l, scale):
+        JtJ, Jtr, _ = residuals.sparse_corr_blocks(poses_l, corrs_l, cfg.weight_sparse)
+        idx_a, idx_b = corrs_l.img_a, corrs_l.img_b
+        if use_dense and caches is not None:
+            dJtJ, dJtr, _ = residuals.dense_pair_blocks(
+                poses_l, dpa_l, dpb_l, don_l, caches, cache_cam, cfg,
+                cfg.weight_dense_depth * scale, cfg.weight_dense_color * scale,
+            )
+            idx_a = jnp.concatenate([idx_a, dpa_l])
+            idx_b = jnp.concatenate([idx_b, dpb_l])
+            JtJ = jnp.concatenate([JtJ, dJtJ])
+            Jtr = jnp.concatenate([Jtr, dJtr])
+        H, b = assemble_system(n, idx_a, idx_b, JtJ, Jtr, free_l, damping=0.0)
+        H = jax.lax.psum(H, axis)
+        b = jax.lax.psum(b, axis)
+        dd = jax.lax.psum(jnp.ones(()), axis)
+        fm = jnp.repeat(free_l.astype(H.dtype), 6)
+        H = H - jnp.diag((dd - 1.0) * (1.0 - fm))
+        return H, b
+
+    total_removed = jnp.int32(0)
+    weight = corrs_p.weight
+    for _ in range(prune_rounds):
+        for scale in ramp:
+            fn = shard_map(
+                functools.partial(local_system, scale=scale),
+                mesh=mesh,
+                in_specs=(P(), P(axis), P(axis), P(axis), P(axis), P()),
+                out_specs=(P(), P()),
+            )
+            H, b = fn(
+                poses,
+                corrs_p._replace(weight=weight),
+                dp_a,
+                dp_b,
+                dp_on,
+                problem.free_mask,
+            )
+            diag = jnp.diagonal(H)
+            H = H + jnp.diag(1e-6 * diag + 1e-8)
+            x = pcg_solve_rowsharded(mesh, H, b, pcg_iters, axis)
+            delta = x.reshape(n, 6)
+            upd = se3.se3_exp(delta)
+            new_poses = jnp.einsum("nij,njk->nik", upd, poses)
+            poses = jnp.where(problem.free_mask[:, None, None], new_poses, poses)
+        # post-solve max-residual pruning (replicated — negligible cost)
+        _, _, res_norms = residuals.sparse_residuals(
+            poses, corrs_p._replace(weight=weight)
+        )
+        pruned, removed = gn_mod.prune_max_residuals(
+            corrs_p._replace(weight=weight),
+            res_norms,
+            cfg.max_res_thresh,
+            cfg.prune_iters,
+        )
+        weight = pruned.weight
+        total_removed = total_removed + removed
+    problem = problem._replace(
+        corrs=corrs0._replace(weight=weight[:r_real])
+    )
+    return poses, problem, total_removed

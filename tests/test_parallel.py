@@ -153,3 +153,72 @@ def test_multiseq_fusion_integrates_per_device():
     tables = fn(tables, depth, color, poses)
     active = np.asarray(jax.vmap(lambda t: t.num_active())(tables))
     assert (active > 50).all(), active
+
+
+def test_run_sequences_sharded_matches_serial():
+    """The end-to-end multi-sequence SPMD driver (BASELINE config 5): 8
+    sequences on the 8-device mesh must reproduce the serial pipeline's
+    trajectories per sequence."""
+    from bundlefusion_tpu.bundle.pipeline import run_sequence
+    from bundlefusion_tpu.config import tiny_test_config
+    from bundlefusion_tpu.eval.ate import ate_rmse
+    from bundlefusion_tpu.io.replayer import Replayer, SyntheticSource
+    from bundlefusion_tpu.parallel.spmd_pipeline import (
+        extract_mesh_for,
+        run_sequences_sharded,
+    )
+
+    cfg = tiny_test_config()
+    seqs = [cached_sequence(21, width=128, height=96, seed=s % 2) for s in range(8)]
+    m = mesh_mod.make_mesh(8)
+    out = run_sequences_sharded(
+        seqs, m, cfg, anchor_poses=np.stack([s.poses[0] for s in seqs])
+    )
+    assert out.poses.shape[0] == 8
+    # serial references for the two distinct scenes
+    for i in (0, 1):
+        rep = Replayer(SyntheticSource(seqs[i]), batch_size=8)
+        bf, ser = run_sequence(rep, cfg, anchor_pose=seqs[i].poses[0])
+        n = min(out.poses.shape[1], len(ser.poses))
+        sharded_ate = ate_rmse(out.poses[i, :n], seqs[i].poses[:n], valid=out.valid[i, :n])
+        serial_ate = ate_rmse(ser.poses[:n], seqs[i].poses[:n], valid=ser.valid[:n])
+        assert abs(sharded_ate - serial_ate) < 2e-3, (i, sharded_ate, serial_ate)
+        # trajectories agree pose-by-pose where both are valid
+        both = out.valid[i, :n] & ser.valid[:n]
+        np.testing.assert_allclose(
+            out.poses[i, :n][both], ser.poses[:n][both], atol=5e-3
+        )
+    verts, _, _ = extract_mesh_for(out, 0, cfg)
+    assert len(verts) > 500
+
+
+def test_global_solve_sharded_matches_serial():
+    """The product multi-chip global BA (pruning + dense hooks) must agree
+    with the single-device global_solve on the same keyframe graph."""
+    import dataclasses
+
+    from bundlefusion_tpu.bundle import global_graph
+    from bundlefusion_tpu.bundle.pipeline import run_sequence
+    from bundlefusion_tpu.config import Config
+    from bundlefusion_tpu.io.replayer import Replayer, SyntheticSource
+
+    base = tiny_test_config()
+    # keyframe capacity must make 6N divisible by 8 for the row-sharded PCG
+    cfg = Config(
+        app=base.app,
+        bundling=dataclasses.replace(base.bundling, max_num_images=32),
+    )
+    seq = cached_sequence(21, width=128, height=96)
+    rep = Replayer(SyntheticSource(seq), batch_size=8)
+    bf, _ = run_sequence(rep, cfg, anchor_pose=seq.poses[0])
+    graph = bf.graph
+    cam = bf.cache_cam
+    m = mesh_mod.make_mesh(8)
+    g_serial, _, _ = global_graph.global_solve(graph, cam, cfg.bundling)
+    g_sharded, _ = global_graph.global_solve_sharded(graph, m, cam, cfg.bundling)
+    np.testing.assert_allclose(
+        np.asarray(g_sharded.poses), np.asarray(g_serial.poses), atol=1e-3
+    )
+    np.testing.assert_array_equal(
+        np.asarray(g_sharded.valid), np.asarray(g_serial.valid)
+    )
