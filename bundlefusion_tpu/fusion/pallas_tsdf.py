@@ -52,9 +52,7 @@ def _kernel(
     # inputs
     pose_ref,  # [1, 128] f32: w2c row-major (12) + intrinsics + sign
     dimg_ref,  # [Hp, Wp] f32 depth
-    rimg_ref,  # [Hp, Wp]
-    gimg_ref,  # [Hp, Wp]
-    bimg_ref,  # [Hp, Wp]
+    pimg_ref,  # [Hp, Wp] f32 packed color: r*65536 + g*256 + b (exact ints)
     sdf_ref,  # [1, 4, 128]
     w_ref,  # [1, 4, 128]
     col_ref,  # [1, 12, 128] planar r|g|b (4 rows each)
@@ -123,9 +121,17 @@ def _kernel(
         return jnp.sum(tmp * oh_u, axis=1, keepdims=True)  # [512, 1]
 
     d = sample(dimg_ref)
-    cr = sample(rimg_ref)
-    cg = sample(gimg_ref)
-    cb = sample(bimg_ref)
+    # ONE matmul-sample for all three color channels: the packed plane holds
+    # r*65536 + g*256 + b as exact f32 integers (< 2^24); unpacking is cheap
+    # VPU arithmetic — this halves the kernel's MXU work vs per-channel passes
+    pc = sample(pimg_ref)
+    cr = jnp.floor(pc * (1.0 / 65536.0))
+    rem = pc - cr * 65536.0
+    cg = jnp.floor(rem * (1.0 / 256.0))
+    cb = rem - cg * 256.0
+    cr = cr * (1.0 / 255.0)
+    cg = cg * (1.0 / 255.0)
+    cb = cb * (1.0 / 255.0)
 
     trunc = trunc_base + trunc_scale * d
     sdf_val = d - pz
@@ -171,9 +177,41 @@ def _kernel(
     col_out[0, 8:12, :] = ucb
 
 
-@functools.partial(jax.jit, static_argnames=("cam", "cfg", "interpret"))
-def integrate_blocks_pallas(
-    table: BlockTable,
+def pool_to_planar(table: BlockTable):
+    """(sdf, weight, color) pools -> the kernel's 2D layouts. The color
+    transpose moves the whole pool once — batch callers hoist this OUT of
+    their per-frame scan so it isn't paid per frame."""
+    rows = table.sdf.shape[0]
+    sdf_r = table.sdf.reshape(rows, 4, 128)
+    w_r = table.weight.reshape(rows, 4, 128)
+    col_r = jnp.transpose(table.color.reshape(rows, _NVOX, 3), (0, 2, 1)).reshape(
+        rows, 12, 128
+    )
+    return sdf_r, w_r, col_r
+
+
+def pool_from_planar(table: BlockTable, sdf_r, w_r, col_r) -> BlockTable:
+    rows = table.sdf.shape[0]
+    col_back = jnp.transpose(col_r.reshape(rows, 3, _NVOX), (0, 2, 1))
+    return table._replace(
+        sdf=sdf_r.reshape(table.sdf.shape),
+        weight=w_r.reshape(table.weight.shape),
+        color=col_back.reshape(table.color.shape),
+    )
+
+
+def pack_color_plane(color: jax.Array) -> jax.Array:
+    """[H, W, 3] float color in [0,1] -> one f32 plane of exact packed
+    integers r*65536+g*256+b (sensor color is uint8 wire data, so the 1/255
+    quantization is lossless; de-integration re-packs identically, keeping
+    the exact-inverse property)."""
+    c8 = jnp.clip(jnp.round(color * 255.0), 0.0, 255.0)
+    return c8[..., 0] * 65536.0 + c8[..., 1] * 256.0 + c8[..., 2]
+
+
+def integrate_blocks_pallas_planar(
+    pools,  # (sdf_r [rows,4,128], w_r [rows,4,128], col_r [rows,12,128])
+    key_of_slot: jax.Array,
     slots: jax.Array,  # [B] data slots to update
     mask: jax.Array,  # [B]
     depth: jax.Array,  # [H, W]
@@ -183,14 +221,14 @@ def integrate_blocks_pallas(
     cfg: AppConfig,
     weight_sign: float,
     interpret: bool = False,
-) -> BlockTable:
-    """Drop-in Pallas replacement for ``tsdf._integrate_blocks``."""
+):
+    """Core Pallas integrate on planar pools; returns updated pools."""
     from .blocks import unpack_key
 
+    sdf_r, w_r, col_r = pools
     b = slots.shape[0]
-    rows = table.sdf.shape[0]  # capacity + 1 (scratch row for masked slots)
     w2c = se3.mat_inverse(pose_c2w)
-    coords = unpack_key(table.key_of_slot[slots])  # [B, 3] (masked rows: garbage)
+    coords = unpack_key(key_of_slot[slots])  # [B, 3] (masked rows: garbage)
 
     # per-block patch origin: min projected pixel of the block's corner AABB
     ctr = (coords.astype(jnp.float32) + 0.5) * (BLOCK * cfg.voxel_size)
@@ -219,17 +257,7 @@ def integrate_blocks_pallas(
     )
     pad = ((0, _PATCH_V), (0, _PATCH_U))
     dimg = jnp.pad(depth, pad)
-    rimg = jnp.pad(color[..., 0], pad)
-    gimg = jnp.pad(color[..., 1], pad)
-    bimg = jnp.pad(color[..., 2], pad)
-
-    # 2D pool layouts: [C, 512] tiles to (8,128) with zero padding waste; the
-    # color pool moves to planar [C, 3*512] at this boundary (one transpose)
-    sdf_r = table.sdf.reshape(rows, 4, 128)
-    w_r = table.weight.reshape(rows, 4, 128)
-    col_r = jnp.transpose(table.color.reshape(rows, _NVOX, 3), (0, 2, 1)).reshape(
-        rows, 12, 128
-    )
+    pimg = jnp.pad(pack_color_plane(color), pad)
 
     kernel = functools.partial(
         _kernel,
@@ -249,9 +277,7 @@ def integrate_blocks_pallas(
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),  # params
             pl.BlockSpec(memory_space=pltpu.VMEM),  # depth
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # r
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # g
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # b
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # packed color
             pl.BlockSpec((1, 4, 128), bmap),
             pl.BlockSpec((1, 4, 128), bmap),
             pl.BlockSpec((1, 12, 128), bmap),
@@ -270,15 +296,34 @@ def integrate_blocks_pallas(
             jax.ShapeDtypeStruct(w_r.shape, jnp.float32),
             jax.ShapeDtypeStruct(col_r.shape, jnp.float32),
         ],
-        input_output_aliases={12: 0, 13: 1, 14: 2},
+        input_output_aliases={10: 0, 11: 1, 12: 2},
         interpret=interpret,
     )(
         slots, coords[:, 0], coords[:, 1], coords[:, 2], mask_i, u0, v0,
-        params, dimg, rimg, gimg, bimg, sdf_r, w_r, col_r,
+        params, dimg, pimg, sdf_r, w_r, col_r,
     )
-    col_back = jnp.transpose(col.reshape(rows, 3, _NVOX), (0, 2, 1))
-    return table._replace(
-        sdf=sdf.reshape(table.sdf.shape),
-        weight=wgt.reshape(table.weight.shape),
-        color=col_back.reshape(table.color.shape),
+    return sdf, wgt, col
+
+
+@functools.partial(jax.jit, static_argnames=("cam", "cfg", "interpret"))
+def integrate_blocks_pallas(
+    table: BlockTable,
+    slots: jax.Array,  # [B] data slots to update
+    mask: jax.Array,  # [B]
+    depth: jax.Array,  # [H, W]
+    color: jax.Array,  # [H, W, 3]
+    pose_c2w: jax.Array,  # [4, 4]
+    cam: CameraModel,
+    cfg: AppConfig,
+    weight_sign: float,
+    interpret: bool = False,
+) -> BlockTable:
+    """Drop-in Pallas replacement for ``tsdf._integrate_blocks`` (single
+    frame: converts the pool layout around one kernel call; batch callers use
+    the planar API directly and convert once per batch)."""
+    pools = pool_to_planar(table)
+    pools = integrate_blocks_pallas_planar(
+        pools, table.key_of_slot, slots, mask, depth, color, pose_c2w,
+        cam, cfg, weight_sign, interpret=interpret,
     )
+    return pool_from_planar(table, *pools)

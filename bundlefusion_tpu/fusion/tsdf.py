@@ -371,6 +371,48 @@ def integrate_batch(
     union = dedup_keys(all_keys, union_cap)
     table, overflow = allocate(table, union)
 
+    if _use_pallas(cfg):
+        # planar-pool scan: the whole-pool color transpose is paid ONCE per
+        # batch instead of once per frame (the table's index arrays don't
+        # change inside the scan — allocation already happened above)
+        from .pallas_tsdf import (
+            integrate_blocks_pallas_planar,
+            pool_from_planar,
+            pool_to_planar,
+        )
+
+        def step_p(pools, inp):
+            depth, color, pose, ok = inp
+
+            def do(pools):
+                upd_keys = dedup_keys(
+                    frame_alloc_keys(depth, pose, cam, cfg), cfg.blocks_per_frame_cap
+                )
+                slots, mask = _frame_update_set(table, depth, pose, cam, cfg, upd_keys)
+                mask = mask & ok
+                slots = jnp.where(mask, slots, table.capacity).astype(jnp.int32)
+                p_ovf = patch_overflow_count(slots, mask, table, pose, cam, cfg)
+                new_pools = integrate_blocks_pallas_planar(
+                    pools, table.key_of_slot, slots, mask, depth, color, pose,
+                    cam, cfg, +1.0,
+                )
+                return new_pools, (mask, p_ovf)
+
+            def skip(pools):
+                return pools, (jnp.zeros(cfg.blocks_per_frame_cap, bool), jnp.int32(0))
+
+            return jax.lax.cond(ok, do, skip, pools)
+
+        pools, (upd_masks, p_ovfs) = jax.lax.scan(
+            step_p, pool_to_planar(table), (depths, colors, poses, valid)
+        )
+        table = pool_from_planar(table, *pools)
+        return table, FuseDiag(
+            overflow=overflow + union_overflow,
+            patch_overflow=jnp.sum(p_ovfs).astype(jnp.int32),
+            upd_mask=upd_masks,
+        )
+
     def step(table, inp):
         depth, color, pose, ok = inp
 
@@ -439,6 +481,32 @@ def deintegrate_batch(
     """Batched exact removal (scan over frames; one dispatch per batch)."""
     if upd_masks is None:
         upd_masks = jnp.ones((depths.shape[0], cfg.blocks_per_frame_cap), bool)
+
+    if _use_pallas(cfg):
+        from .pallas_tsdf import (
+            integrate_blocks_pallas_planar,
+            pool_from_planar,
+            pool_to_planar,
+        )
+
+        def step_p(pools, inp):
+            depth, color, pose, ok, rec = inp
+
+            def do(pools):
+                slots, mask = _frame_update_set(table, depth, pose, cam, cfg)
+                mask = mask & rec & ok
+                slots = jnp.where(mask, slots, table.capacity).astype(jnp.int32)
+                return integrate_blocks_pallas_planar(
+                    pools, table.key_of_slot, slots, mask, depth, color, pose,
+                    cam, cfg, -1.0,
+                )
+
+            return jax.lax.cond(ok, do, lambda p: p, pools), None
+
+        pools, _ = jax.lax.scan(
+            step_p, pool_to_planar(table), (depths, colors, poses, valid, upd_masks)
+        )
+        return pool_from_planar(table, *pools)
 
     def step(table, inp):
         depth, color, pose, ok, rec = inp
