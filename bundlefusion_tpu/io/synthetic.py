@@ -32,6 +32,23 @@ class SyntheticSequence(NamedTuple):
     timestamps: np.ndarray  # [N] float64 seconds
 
 
+def _host_render(render, poses: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Run the (vmapped, jitted) renderer on the CPU backend and return numpy.
+
+    Rendering on the accelerator would require a large device->host readback
+    of the finished frames; on this machine's tunneled TPU the FIRST such
+    readback permanently drops the tunnel's host->device path out of its fast
+    mode (measured: ~2 GB/s before any D2H, ~40 MB/s after — for the life of
+    the process). Since synthetic data generation always precedes a pipeline
+    run in the same process, rendering stays on CPU so the run that follows
+    keeps full-speed uploads.
+    """
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        depth, color = render(jnp.asarray(poses))
+        return np.asarray(depth), np.asarray(color)
+
+
 def scene_sdf(p: jax.Array) -> jax.Array:
     """Analytic signed distance of the test scene at world points [..., 3]."""
     x, y, z = p[..., 0], p[..., 1], p[..., 2]
@@ -233,12 +250,12 @@ def generate_corridor_sequence(
         poses = np.concatenate([p_out, p_out[-2::-1]])[:num_frames]
     else:
         poses = corridor_path_poses(num_frames, x_span=x_span, seed=seed)
-    intr = jnp.array([cam.fx, cam.fy, cam.cx, cam.cy], dtype=jnp.float32)
+    intr = np.array([cam.fx, cam.fy, cam.cx, cam.cy], dtype=np.float32)
     render = jax.jit(jax.vmap(lambda T: _render_corridor_frame(T, width, height, intr)))
-    depth, color = render(jnp.asarray(poses))
+    depth, color = _host_render(render, poses)
     return SyntheticSequence(
-        depth=np.asarray(depth),
-        color=np.asarray(color),
+        depth=depth,
+        color=color,
         poses=poses,
         camera=cam,
         timestamps=np.arange(num_frames, dtype=np.float64) / 30.0,
@@ -339,12 +356,12 @@ def generate_sequence(
     fx = 0.9 * width
     cam = CameraModel.create(fx, fx, (width - 1) / 2.0, (height - 1) / 2.0, width, height)
     poses = orbit_poses(num_frames, radius=radius, seed=seed)
-    intr = jnp.array([cam.fx, cam.fy, cam.cx, cam.cy], dtype=jnp.float32)
+    intr = np.array([cam.fx, cam.fy, cam.cx, cam.cy], dtype=np.float32)
     render = jax.jit(jax.vmap(lambda T: render_frame(T, width, height, intr)), static_argnums=())
-    depth, color = render(jnp.asarray(poses))
+    depth, color = _host_render(render, poses)
     return SyntheticSequence(
-        depth=np.asarray(depth),
-        color=np.asarray(color),
+        depth=depth,
+        color=color,
         poses=poses,
         camera=cam,
         timestamps=np.arange(num_frames, dtype=np.float64) / 30.0,
