@@ -7,13 +7,18 @@ dual-GPU desktop (BASELINE.md); vs_baseline = fps / 30.
 The benchmark replays a synthetic sequence (no dataset files exist on this
 machine) through the full hierarchical pipeline — preprocessing, SIFT,
 matching/filtering, local+global BA, TSDF fusion, re-integration — and
-reports steady-state frames/sec excluding compilation (first chunks warm up
-the caches, then a timed run measures the rest).
+reports steady-state frames/sec excluding compilation (a warm pass compiles
+everything, then fresh timed passes measure).
+
+Measurement discipline on the tunneled TPU: the pipeline's steady state is
+readback-free (see bundle/pipeline.py docstring), and this harness keeps it
+that way — synthetic frames render on the CPU backend, the warm pass skips
+finalize(), and ATE/diagnostic readbacks happen only after the last timed
+pass — so the timed passes run with the tunnel's fast upload path intact.
 """
 
 from __future__ import annotations
 
-import dataclasses
 import json
 import os
 import sys
@@ -28,11 +33,12 @@ def main() -> None:
     from bundlefusion_tpu.bundle.pipeline import BundleFusion
     from bundlefusion_tpu.config import AppConfig, BundlingConfig, Config
     from bundlefusion_tpu.eval.ate import ate_rmse
-    from bundlefusion_tpu.io.synthetic import generate_sequence
+    from bundlefusion_tpu.io.synthetic import apply_sensor_noise, generate_sequence
 
     width = int(os.environ.get("BENCH_WIDTH", 320))
     height = int(os.environ.get("BENCH_HEIGHT", 240))
     num_frames = int(os.environ.get("BENCH_FRAMES", 66))
+    with_noise = os.environ.get("BENCH_NOISE", "1") != "0"
 
     cfg = Config(
         app=AppConfig(
@@ -64,61 +70,82 @@ def main() -> None:
     def progress(msg):
         print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
 
-    progress(f"rendering {num_frames} synthetic frames at {width}x{height}")
+    progress(f"rendering {num_frames} synthetic frames at {width}x{height} (CPU)")
     seq = generate_sequence(num_frames, width=width, height=height, radius=0.5)
 
-    # pass 1: warm every program in the pipeline (compiles cached persistently)
-    bf = BundleFusion(seq.camera, cfg, anchor_pose=seq.poses[0], profile=True)
-    for i in range(num_frames):
-        bf.push_frame(seq.depth[i], seq.color[i])
-        if i % 20 == 0:
-            progress(f"warm pass frame {i}/{num_frames}")
-    bf.flush()
-    jax.block_until_ready(bf.graph.poses)
-    progress("warm pass done; timed pass begins")
-
-    # pass 2/3: fresh pipelines, all executables warm — report the best pass
-    # (the TPU tunnel's latency varies run to run; max-of-2 damps that noise)
-    fps, elapsed = 0.0, float("inf")
-    for _ in range(2):
-        bf = BundleFusion(seq.camera, cfg, anchor_pose=seq.poses[0])
+    def run_pass(profile: bool) -> tuple[BundleFusion, float]:
+        bf = BundleFusion(seq.camera, cfg, anchor_pose=seq.poses[0], profile=profile)
         t0 = time.perf_counter()
         for i in range(num_frames):
             bf.push_frame(seq.depth[i], seq.color[i])
         bf.flush()
-        jax.block_until_ready(bf.graph.poses)
-        dt = time.perf_counter() - t0
+        # pure wait (no readback) on the LAST programs of the last chunk —
+        # the fused TSDF step writes runlog_dev and the table, so waiting on
+        # them drains the whole queue, not just the solver
+        jax.block_until_ready((bf.graph.poses, bf._runlog_dev, bf.table.weight))
+        return bf, time.perf_counter() - t0
+
+    # pass 1: warm every program (compiles cached persistently); profile=True
+    # gives an honestly-attributed per-stage table (per-stage device waits,
+    # still readback-free). finalize() is deliberately NOT called here.
+    progress("warm pass (compiling)")
+    bf_warm, dt_warm = run_pass(profile=True)
+    stage_profile = bf_warm.timing.summary()
+    del bf_warm
+    progress(f"warm pass done in {dt_warm:.1f}s; timed passes begin")
+
+    # passes 2/3: fresh pipelines, all executables warm — report the best
+    # (the TPU tunnel's latency varies run to run; best-of-2 damps that noise)
+    fps, elapsed, bf = 0.0, float("inf"), None
+    for p in range(2):
+        bf_p, dt = run_pass(profile=False)
+        progress(f"timed pass {p}: {num_frames / dt:.2f} fps")
         if num_frames / dt > fps:
             fps, elapsed = num_frames / dt, dt
-    out = bf.outputs()
+        bf = bf_p  # keep the last for post-timing evaluation
+
+    # ---- timing is over; readbacks are free to happen now ----
+    out = bf.outputs()  # finalize: recovery sweeps + runlog emit
     n = min(len(out.poses), len(seq.poses))  # flush() pads the tail chunk
     ate = ate_rmse(out.poses[:n], seq.poses[:n], valid=out.valid[:n])
 
+    diagnostics = {
+        "ate_cm": round(ate * 100, 3),
+        "keyframes": out.num_keyframes,
+        "blocks": int(bf.table.num_active()),
+        # measured, not derived: GN iterations counted per executed solve;
+        # voxel updates = device-accumulated count of blocks written x 8^3
+        "gn_iters_per_sec": round(bf.gn_iters_executed / elapsed, 1),
+        "voxel_updates_per_sec": round(float(bf.blocks_updated) * 512 / elapsed),
+        "timing": {"timed_async": bf.timing.summary(), "warm_profiled": stage_profile},
+    }
+
+    if with_noise:
+        # SURVEY.md §7 hard part 4: the same pipeline on Kinect-statistics
+        # input (axial/lateral noise, disparity quantization, edge dropout,
+        # exposure drift). Runs after timing — slow-path uploads don't matter.
+        progress("noisy-sensor pass (untimed)")
+        noisy = apply_sensor_noise(seq)
+        bfn = BundleFusion(noisy.camera, cfg, anchor_pose=noisy.poses[0])
+        for i in range(num_frames):
+            bfn.push_frame(noisy.depth[i], noisy.color[i])
+        bfn.flush()
+        outn = bfn.outputs()
+        nn = min(len(outn.poses), len(noisy.poses))
+        diagnostics["ate_noisy_cm"] = round(
+            ate_rmse(outn.poses[:nn], noisy.poses[:nn], valid=outn.valid[:nn]) * 100, 3
+        )
+        diagnostics["noisy_valid_fraction"] = round(
+            float(np.asarray(outn.valid[:nn]).mean()), 3
+        )
+
+    print(json.dumps(diagnostics), file=sys.stderr)
     result = {
         "metric": "end_to_end_fps",
         "value": round(fps, 2),
         "unit": f"frames/sec ({width}x{height}, full pipeline, 1 chip)",
         "vs_baseline": round(fps / 30.0, 3),
     }
-    # secondary diagnostics on stderr (driver parses stdout's single line);
-    # covers the BASELINE.json metric set: fps, GN iters/sec, voxel updates/sec
-    # measured, not derived: GN iterations counted per executed solve; voxel
-    # updates = device-accumulated count of blocks actually written x 8^3
-    gn_iters = bf.gn_iters_executed
-    voxel_updates = float(bf.blocks_updated) * 512
-    print(
-        json.dumps(
-            {
-                "ate_cm": round(ate * 100, 3),
-                "keyframes": out.num_keyframes,
-                "blocks": int(bf.table.num_active()),
-                "gn_iters_per_sec": round(gn_iters / elapsed, 1),
-                "voxel_updates_per_sec": round(voxel_updates / elapsed),
-                "timing": bf.timing.summary(),
-            }
-        ),
-        file=sys.stderr,
-    )
     print(json.dumps(result))
 
 

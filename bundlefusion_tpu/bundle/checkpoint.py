@@ -26,29 +26,30 @@ def save_checkpoint(bf: BundleFusion, path: str) -> None:
         "table": jax.tree.map(np.asarray, bf.table),
         "graph": jax.tree.map(np.asarray, bf.graph),
         "traj": jax.tree.map(np.asarray, bf.traj),
+        "ctrl": jax.tree.map(np.asarray, bf.ctrl),
         "hist_d16": np.asarray(bf._hist_d16),
         "hist_c8": np.asarray(bf._hist_c8),
+        "ring_frame": np.asarray(bf._ring_frame),
         "upd_masks": np.asarray(bf._upd_masks),
         "local_traj_dev": np.asarray(bf._local_traj_dev),
         "chunk_valid_dev": np.asarray(bf._chunk_valid_dev),
+        "runlog_dev": np.asarray(bf._runlog_dev),
     }
     host_state = {
         "num_frames": bf.num_frames,
         "num_keyframes": bf.num_keyframes,
         "chunk_count": bf.chunk_count,
-        "tracking_lost": bf.tracking_lost,
-        "lost_chunks": bf.lost_chunks,
-        "consecutive_invalid": bf.consecutive_invalid,
+        "next_fid": bf._next_fid,
         "anchor": bf.anchor,
-        "local_trajs": bf._local_trajs,
-        "chunk_valid": bf._chunk_valid,
-        "hist_slot": bf._hist_slot,
-        "hist_next": bf._hist_next,
         "frame_store": bf._frame_store,
         "config_json": bf.config.to_json(),
         "camera": tuple(bf.cam),
         "blocks_updated": float(bf.blocks_updated),
+        "gc_freed_total": float(bf._gc_freed_total),
         "gn_iters_executed": bf.gn_iters_executed,
+        "reloc_seen": bf._reloc_seen,
+        "streaming_on": bf._streaming_on,
+        "ring_uploads": bf._ring_uploads,
         "block_store": bf.block_store,
     }
     with open(path, "wb") as f:
@@ -72,25 +73,25 @@ def load_checkpoint(path: str) -> BundleFusion:
     bf.table = jax.tree.map(jnp.asarray, dev["table"])
     bf.graph = jax.tree.map(jnp.asarray, dev["graph"])
     bf.traj = jax.tree.map(jnp.asarray, dev["traj"])
+    bf.ctrl = jax.tree.map(jnp.asarray, dev["ctrl"])
     bf.num_frames = host["num_frames"]
     bf.num_keyframes = host["num_keyframes"]
     bf.chunk_count = host["chunk_count"]
-    bf.tracking_lost = host["tracking_lost"]
-    bf.lost_chunks = host["lost_chunks"]
-    bf.consecutive_invalid = host["consecutive_invalid"]
-    bf._local_trajs = host["local_trajs"]
-    bf._chunk_valid = host["chunk_valid"]
-    bf._hist_slot = host["hist_slot"]
-    bf._slot_frame = {s: f for f, s in host["hist_slot"].items()}
-    bf._hist_next = host["hist_next"]
+    bf._next_fid = host["next_fid"]
     bf._frame_store = host["frame_store"]
     bf._hist_d16 = jnp.asarray(dev["hist_d16"])
     bf._hist_c8 = jnp.asarray(dev["hist_c8"])
+    bf._ring_frame = jnp.asarray(dev["ring_frame"])
     bf._upd_masks = jnp.asarray(dev["upd_masks"])
     bf._local_traj_dev = jnp.asarray(dev["local_traj_dev"])
     bf._chunk_valid_dev = jnp.asarray(dev["chunk_valid_dev"])
+    bf._runlog_dev = jnp.asarray(dev["runlog_dev"])
     bf.blocks_updated = jnp.float32(host.get("blocks_updated", 0.0))
+    bf._gc_freed_total = jnp.float32(host.get("gc_freed_total", 0.0))
     bf.gn_iters_executed = host.get("gn_iters_executed", 0)
+    bf._reloc_seen = host.get("reloc_seen", 0)
+    bf._streaming_on = host.get("streaming_on", False)
+    bf._ring_uploads = host.get("ring_uploads", 0)
     if host.get("block_store") is not None:
         bf.block_store = host["block_store"]
     return bf

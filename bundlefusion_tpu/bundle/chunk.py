@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from ..config import BundlingConfig
 from ..features import filters, matcher, sift
 from ..geometry.camera import CameraModel
-from ..ops.preprocess import FrameCache, ProcessedFrames, preprocess_frames
+from ..ops.preprocess import FrameCache, preprocess_frames
 from ..solver import gn, residuals
 
 
@@ -31,8 +31,6 @@ class ChunkResult(NamedTuple):
     chunk_valid: jax.Array  # scalar bool
     keyframe_keys: sift.SiftKeys  # fused keys, p3d in keyframe coords
     keyframe_cache: FrameCache  # frame 0's cache (for global dense verify)
-    frames: ProcessedFrames  # full-res products for TSDF integration
-    cache: FrameCache  # per-frame caches
     num_keys: jax.Array  # [S+1] int32
     num_matches: jax.Array  # [P] int32 filtered matches per pair
     pair_valid: jax.Array  # [P] bool
@@ -240,13 +238,15 @@ def process_chunk(
     )
     kf_cache = jax.tree.map(lambda x: x[0], cache)
 
+    # NOTE: full-res ProcessedFrames and the per-frame caches are NOT outputs
+    # — nothing downstream needs them (integration dequantizes the wire ring
+    # on device), and returning them would materialize ~100 MB/chunk at
+    # 640x480 that XLA otherwise never has to write out.
     return ChunkResult(
         local_traj=solved,
         chunk_valid=chunk_valid,
         keyframe_keys=keyframe_keys,
         keyframe_cache=kf_cache,
-        frames=frames,
-        cache=cache,
         num_keys=jnp.sum(keys.valid, axis=-1).astype(jnp.int32),
         num_matches=fm.count().astype(jnp.int32),
         pair_valid=filt.pair_valid,

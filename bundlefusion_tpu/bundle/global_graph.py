@@ -176,64 +176,77 @@ def global_match(
     sel_ok = jnp.isfinite(top)
     n_new = jnp.sum(sel_ok).astype(jnp.int32)
 
-    corrs = graph.corrs
-    cap = corrs.capacity
-    # --- compact + fair eviction before appending. Two sources of room:
-    # (1) correspondences killed by max-residual pruning (weight == 0) are
-    #     garbage rows, reclaimed for free;
-    # (2) if live entries still exceed cap - append_cap, evict the most
-    #     REDUNDANT ones: entries are ranked within their keyframe pair, and
-    #     a global top-k on (-rank) keeps rank-0 of every pair before any
-    #     pair's rank-1 — round-robin fairness, so no pair (loop closure!)
-    #     ever loses its last correspondences while another hoards slots.
-    # The new keyframe's append therefore ALWAYS fits; evictions are counted.
-    live = corrs.weight > 0
-    pid = jnp.where(live, corrs.img_a * kmax + corrs.img_b, jnp.iinfo(jnp.int32).max)
-    order1 = jnp.argsort(pid, stable=True)
-    pid_s = pid[order1]
-    idx = jnp.arange(cap, dtype=jnp.int32)
-    first = jnp.concatenate([jnp.array([True]), pid_s[1:] != pid_s[:-1]])
-    seg_start = jax.lax.associative_scan(jnp.maximum, jnp.where(first, idx, 0))
-    rank = idx - seg_start
-    prio = jnp.where(live[order1], -rank.astype(jnp.float32), -jnp.inf)
-    keep_n = cap - append_cap
-    top1, sel1 = jax.lax.top_k(prio, keep_n)
-    kept = jnp.isfinite(top1)
-    rows = order1[sel1]
-    gat = lambda x: x[rows]
-    corrs = residuals.SparseCorrs(
-        img_a=gat(corrs.img_a),
-        img_b=gat(corrs.img_b),
-        p_a=gat(corrs.p_a),
-        p_b=gat(corrs.p_b),
-        weight=jnp.where(kept, gat(corrs.weight), 0.0),
-    )
-    # pad the compacted buffer back to capacity (append region)
-    pad = lambda x: jnp.concatenate(
-        [x, jnp.zeros((append_cap,) + x.shape[1:], x.dtype)]
-    )
-    corrs = jax.tree.map(pad, corrs)
-    cursor = jnp.sum(kept).astype(jnp.int32)
-    evicted = jnp.sum(live).astype(jnp.int32) - cursor
-    overflow = graph.corr_overflow + jnp.maximum(evicted, 0)
+    def _append(_):
+        corrs = graph.corrs
+        cap = corrs.capacity
+        # --- compact + fair eviction before appending. Two sources of room:
+        # (1) correspondences killed by max-residual pruning (weight == 0) are
+        #     garbage rows, reclaimed for free;
+        # (2) if live entries still exceed cap - append_cap, evict the most
+        #     REDUNDANT ones: entries are ranked within their keyframe pair,
+        #     and a global top-k on (-rank) keeps rank-0 of every pair before
+        #     any pair's rank-1 — round-robin fairness, so no pair (loop
+        #     closure!) ever loses its last correspondences while another
+        #     hoards slots.
+        # The new keyframe's append therefore ALWAYS fits; evictions counted.
+        live = corrs.weight > 0
+        pid = jnp.where(live, corrs.img_a * kmax + corrs.img_b, jnp.iinfo(jnp.int32).max)
+        order1 = jnp.argsort(pid, stable=True)
+        pid_s = pid[order1]
+        idx = jnp.arange(cap, dtype=jnp.int32)
+        first = jnp.concatenate([jnp.array([True]), pid_s[1:] != pid_s[:-1]])
+        seg_start = jax.lax.associative_scan(jnp.maximum, jnp.where(first, idx, 0))
+        rank = idx - seg_start
+        prio = jnp.where(live[order1], -rank.astype(jnp.float32), -jnp.inf)
+        keep_n = cap - append_cap
+        top1, sel1 = jax.lax.top_k(prio, keep_n)
+        kept = jnp.isfinite(top1)
+        rows = order1[sel1]
+        gat = lambda x: x[rows]
+        corrs = residuals.SparseCorrs(
+            img_a=gat(corrs.img_a),
+            img_b=gat(corrs.img_b),
+            p_a=gat(corrs.p_a),
+            p_b=gat(corrs.p_b),
+            weight=jnp.where(kept, gat(corrs.weight), 0.0),
+        )
+        # pad the compacted buffer back to capacity (append region)
+        pad = lambda x: jnp.concatenate(
+            [x, jnp.zeros((append_cap,) + x.shape[1:], x.dtype)]
+        )
+        corrs = jax.tree.map(pad, corrs)
+        cursor = jnp.sum(kept).astype(jnp.int32)
+        evicted = jnp.sum(live).astype(jnp.int32) - cursor
+        overflow = graph.corr_overflow + jnp.maximum(evicted, 0)
 
-    slots = cursor + jnp.arange(append_cap, dtype=jnp.int32)
-    tgt = jnp.where(sel_ok, slots, cap)
+        slots = cursor + jnp.arange(append_cap, dtype=jnp.int32)
+        tgt = jnp.where(sel_ok, slots, cap)
 
-    def write(arr, vals):
-        return arr.at[tgt].set(vals, mode="drop")
+        def write(arr, vals):
+            return arr.at[tgt].set(vals, mode="drop")
 
-    new_corrs = residuals.SparseCorrs(
-        img_a=write(corrs.img_a, cand_a[sel]),
-        img_b=write(corrs.img_b, jnp.full((append_cap,), 0, jnp.int32) + k_idx),
-        p_a=write(corrs.p_a, cand_pa[sel]),
-        p_b=write(corrs.p_b, cand_pb[sel]),
-        weight=write(corrs.weight, jnp.ones(append_cap, jnp.float32)),
+        new_corrs = residuals.SparseCorrs(
+            img_a=write(corrs.img_a, cand_a[sel]),
+            img_b=write(corrs.img_b, jnp.full((append_cap,), 0, jnp.int32) + k_idx),
+            p_a=write(corrs.p_a, cand_pa[sel]),
+            p_b=write(corrs.p_b, cand_pb[sel]),
+            weight=write(corrs.weight, jnp.ones(append_cap, jnp.float32)),
+        )
+        return new_corrs, cursor + n_new, overflow
+
+    def _no_append(_):
+        return graph.corrs, graph.corr_cursor, graph.corr_overflow
+
+    # a keyframe with no surviving matches appends nothing — skipping the
+    # compaction entirely keeps the standing correspondence set untouched
+    # (no spurious evictions) and skips the sort/top_k work at runtime
+    new_corrs, new_cursor, new_overflow = jax.lax.cond(
+        n_new > 0, _append, _no_append, None
     )
     graph = graph._replace(
         corrs=new_corrs,
-        corr_cursor=cursor + n_new,
-        corr_overflow=overflow,
+        corr_cursor=new_cursor,
+        corr_overflow=new_overflow,
     )
 
     # --- append dense-term keyframe pairs (top overlapping prev keyframes).

@@ -7,9 +7,22 @@ condition variables; offline replay needs none of that — one host loop drives
 jitted chunk programs, the global keyframe graph, the trajectory manager and
 TSDF de/re-integration in sequence, chunk-at-a-time (SURVEY.md §2.2 "PP").
 
-Host responsibilities are orchestration-only: every compute stage is a
-compiled XLA program with fixed shapes; the host keeps python ints (frame
-counters, lost-tracking state machine) and the replay buffer.
+Steady-state design rule: the host NEVER reads device data. All per-chunk
+control flow — chunk/keyframe validity, relocalization, the tracking-lost
+state machine, the re-integration work list — lives on device as masks and
+selects inside jitted programs (``_graph_step`` / ``_plan_and_fuse``), and
+per-chunk diagnostics accumulate into a device-side log fetched once at
+``finalize()``. Two reasons:
+
+  * XLA async dispatch then queues every chunk's programs back-to-back: the
+    wall clock is the device time, not (host latency x stages).
+  * on this machine's tunneled TPU the FIRST device->host readback of any
+    size permanently drops host->device uploads from ~2 GB/s to ~40 MB/s
+    (process-wide); a zero-readback steady state keeps frame uploads on the
+    fast path.
+
+Host work is orchestration-only: frame wire conversion, ring slot policy
+(a pure function of the frame id), and dispatch.
 """
 
 from __future__ import annotations
@@ -29,6 +42,112 @@ from ..utils.logging import RunLog
 from ..utils.timing import TimingLog
 from . import chunk as chunk_mod
 from . import global_graph, trajectory
+
+
+class DeviceCtrl(NamedTuple):
+    """Device-resident control state (the reference's Bundler state machine,
+    re-expressed as data so the host never has to read it mid-run)."""
+
+    tracking_lost: jax.Array  # bool
+    consecutive_invalid: jax.Array  # int32
+    lost_chunks: jax.Array  # int32 — cumulative
+    reloc_events: jax.Array  # int32 — cumulative relocalization count
+    last_rel: jax.Array  # [4, 4] previous chunk's last local pose (chain link)
+
+
+def make_ctrl() -> DeviceCtrl:
+    return DeviceCtrl(
+        tracking_lost=jnp.bool_(False),
+        consecutive_invalid=jnp.int32(0),
+        lost_chunks=jnp.int32(0),
+        reloc_events=jnp.int32(0),
+        last_rel=jnp.eye(4),
+    )
+
+
+# runlog row layout (float32): one row per chunk, fetched once at finalize()
+RUNREC_FIELDS = (
+    "chunk_valid", "kf_valid", "reloc", "tracking_lost", "num_keys",
+    "filtered_matches", "pairs_valid", "corr_cursor", "alloc_overflow",
+    "patch_overflow", "reint_frames", "ring_miss", "gc_freed_total",
+    "blocks_touched", "active_blocks", "lost_chunks",
+)
+RUNREC_WIDTH = len(RUNREC_FIELDS)
+
+
+@functools.partial(jax.jit, static_argnames=("cache_cam", "cfg", "is_first"))
+def _graph_step(
+    graph: global_graph.GlobalGraph,
+    ctrl: DeviceCtrl,
+    k_idx: jax.Array,  # int32
+    kf_keys,
+    kf_cache,
+    local_traj: jax.Array,  # [S+1, 4, 4]
+    chunk_valid: jax.Array,  # bool
+    anchor: jax.Array,  # [4, 4]
+    cache_cam: CameraModel,
+    cfg,
+    is_first: bool,
+):
+    """One fused device program for all keyframe-graph control flow: keyframe
+    pose init (chained from the previous keyframe), ``add_keyframe``, global
+    matching (loop closure), relocalization, and the tracking-lost state
+    machine — the device-side re-expression of the reference's per-chunk
+    Bundler logic (SURVEY.md §3.3). Returns
+    (graph, ctrl, integrate_mask, kf_valid, stats)."""
+    if is_first:
+        init_pose = anchor
+        kf_valid0 = chunk_valid
+        graph = global_graph.add_keyframe(
+            graph, k_idx, kf_keys, kf_cache, init_pose, kf_valid0 & chunk_valid
+        )
+        kf_valid = kf_valid0
+        reloc = jnp.bool_(False)
+        pair_count = jnp.int32(0)
+    else:
+        chain = graph.valid[k_idx - 1] & chunk_valid & ~ctrl.tracking_lost
+        init_pose = jnp.where(
+            chain, graph.poses[k_idx - 1] @ ctrl.last_rel, anchor
+        )
+        kf_valid0 = chain
+        graph = global_graph.add_keyframe(
+            graph, k_idx, kf_keys, kf_cache, init_pose, kf_valid0 & chunk_valid
+        )
+        # loop closure + relocalization are ONE mechanism: match against all
+        # previous keyframes. An invalid chunk's fused keys are all masked, so
+        # matching it is a structural no-op (and appends nothing).
+        mres = global_graph.global_match(graph, k_idx, cache_cam, cfg)
+        graph = mres.graph
+        reloc = mres.any_valid & chunk_valid & ~kf_valid0
+        T_rel = mres.transforms[mres.best_prev]  # best-prev-cam -> new-cam
+        pose_r = graph.poses[mres.best_prev] @ se3.mat_inverse(T_rel)
+        poses = jnp.where(reloc, graph.poses.at[k_idx].set(pose_r), graph.poses)
+        valid = graph.valid.at[k_idx].set((kf_valid0 & chunk_valid) | reloc)
+        graph = graph._replace(poses=poses, valid=valid)
+        kf_valid = kf_valid0 | reloc
+        pair_count = jnp.sum(mres.pair_valid).astype(jnp.int32)
+        # (a chain-linked keyframe with no global match stays valid —
+        # odometry mode; the reference likewise relies on later loop closures
+        # rather than invalidating it)
+
+    ok = chunk_valid & kf_valid
+    consec = jnp.where(ok, 0, ctrl.consecutive_invalid + 1)
+    # tracking is lost when the chunk solved locally but could not be placed
+    # (neither chained nor relocalized); a locally-invalid chunk leaves the
+    # lost flag as-is (reference semantics)
+    lost = jnp.where(
+        ok, False, jnp.where(chunk_valid & ~kf_valid, True, ctrl.tracking_lost)
+    )
+    lost_chunks = ctrl.lost_chunks + jnp.where(~ok & (lost | ~chunk_valid), 1, 0)
+    ctrl = DeviceCtrl(
+        tracking_lost=lost,
+        consecutive_invalid=consec,
+        lost_chunks=lost_chunks,
+        reloc_events=ctrl.reloc_events + reloc.astype(jnp.int32),
+        last_rel=local_traj[-1],
+    )
+    stats = (reloc, pair_count, lost, lost_chunks)
+    return graph, ctrl, ok, kf_valid, stats
 
 
 @functools.partial(jax.jit, static_argnames=("submap_size", "chunk_frames"))
@@ -63,6 +182,128 @@ def _publish_all(
     return traj
 
 
+@functools.partial(jax.jit, static_argnames=("cam", "cfg", "budget"))
+def _plan_and_fuse(
+    table,
+    traj: trajectory.TrajectoryState,
+    upd_masks: jax.Array,  # [F, cap] bool — per-frame recorded update masks
+    hist_d16: jax.Array,  # [R, H, W] uint16 depth (mm, wire format)
+    hist_c8: jax.Array,  # [R, H, W, 3] uint8 color
+    ring_frame: jax.Array,  # [R] int32 — frame id resident in each ring slot
+    runlog_dev: jax.Array,  # [Cmax + 1, RUNREC_WIDTH] float32
+    chunk_idx: jax.Array,  # int32
+    stats_in: jax.Array,  # [9] float32 from the graph step / chunk result
+    d16_new: jax.Array,  # [B, H, W] new frames (wire)
+    c8_new: jax.Array,  # [B, H, W, 3]
+    new_ids: jax.Array,  # [B] int32
+    integrate_mask: jax.Array,  # bool — integrate the new frames?
+    exclude_from: jax.Array,  # int32 — plan only frames < this id
+    gc_freed_total: jax.Array,  # float32 cumulative (diagnostic passthrough)
+    blocks_updated: jax.Array,  # float32 cumulative measured-work counter
+    cam: CameraModel,
+    cfg,
+    budget: int,
+):
+    """ONE fused device program for all TSDF pose maintenance each chunk:
+    ring write of the new frames, budgeted re-integration *planning*
+    (SURVEY.md §3.4 — the paper's on-the-fly correction), de-integration at
+    stale poses, (re-)integration at optimized poses, trajectory bookkeeping,
+    and the diagnostics row. The plan is consumed directly on device — the
+    host never sees it.
+
+    Ring policy is pure arithmetic: frame f lives in slot ``f % R``. A planned
+    frame whose slot holds a different (newer) frame is skipped and counted in
+    ``ring_miss``; ``finalize()`` services those from the host FrameStore, so
+    re-integration has no history horizon — older-than-ring corrections are
+    deferred, not lost. De-integration stays bit-exact because both ring tiers
+    hold identical wire bytes and this one executable does all dequantization.
+    """
+    r_cap = ring_frame.shape[0]
+    n_new = new_ids.shape[0]
+
+    # 1. ring write of the new frames (slot = id % R)
+    if n_new:
+        slots_new = (new_ids % r_cap).astype(jnp.int32)
+        hist_d16 = hist_d16.at[slots_new].set(d16_new)
+        hist_c8 = hist_c8.at[slots_new].set(c8_new)
+        ring_frame = ring_frame.at[slots_new].set(new_ids)
+
+    # 2. plan (the new frames are integrated explicitly, never via the plan)
+    plan = trajectory.plan_reintegration(traj, budget, exclude_from=exclude_from)
+    frames = jnp.concatenate([new_ids, plan.frames]) if n_new else plan.frames
+    z = jnp.zeros(n_new, bool)
+    deint = jnp.concatenate([z, plan.deint_mask]) if n_new else plan.deint_mask
+    reint_new = jnp.ones(n_new, bool) & integrate_mask
+    reint = jnp.concatenate([reint_new, plan.reint_mask]) if n_new else plan.reint_mask
+
+    # 3. ring residency — planned frames spilled past the ring are deferred
+    slots = (frames % r_cap).astype(jnp.int32)
+    resident = ring_frame[slots] == frames
+    ring_miss = jnp.sum((deint | reint) & ~resident).astype(jnp.int32)
+    deint = deint & resident
+    reint = reint & resident
+
+    # 4. fuse: de-integrate at integrated_pose, (re-)integrate at opt_pose
+    depth = hist_d16[slots].astype(jnp.float32) * 1e-3
+    color = hist_c8[slots].astype(jnp.float32) * (1.0 / 255.0)
+    old_poses = traj.integrated_pose[frames]
+    new_poses = traj.opt_pose[frames]
+    table = tsdf.deintegrate_batch(
+        table, depth, color, old_poses, deint, cam, cfg,
+        upd_masks=upd_masks[frames],
+    )
+    table, diag = tsdf.integrate_batch(
+        table, depth, color, new_poses, reint, cam, cfg
+    )
+    sentinel = traj.opt_pose.shape[0]  # out-of-range scatter ids are dropped
+    deint_ids = jnp.where(deint, frames, sentinel)
+    traj = traj._replace(integrated=traj.integrated.at[deint_ids].set(False))
+    reint_ids = jnp.where(reint, frames, sentinel)
+    traj = traj._replace(
+        integrated_pose=traj.integrated_pose.at[reint_ids].set(new_poses),
+        integrated=traj.integrated.at[reint_ids].set(True),
+    )
+    # measured block-update count (de-integration applies the recorded masks;
+    # integration's applied mask comes back in diag) — the honest
+    # voxel-updates metric, not a capacity-derived bound
+    blocks_touched = (
+        jnp.sum(upd_masks[frames] & deint[:, None]) + jnp.sum(diag.upd_mask)
+    ).astype(jnp.float32)
+    upd_masks = upd_masks.at[reint_ids].set(diag.upd_mask)
+    blocks_updated = blocks_updated + blocks_touched
+
+    # 5. diagnostics row (fetched once at finalize); stats_in[8] carries the
+    # cumulative lost-chunk count from the graph step
+    n_reint = jnp.sum((deint | reint)[n_new:]).astype(jnp.float32)
+    row = jnp.concatenate(
+        [
+            stats_in[:8],
+            jnp.stack(
+                [
+                    diag.overflow.astype(jnp.float32),
+                    diag.patch_overflow.astype(jnp.float32),
+                    n_reint,
+                    ring_miss.astype(jnp.float32),
+                    gc_freed_total,
+                    blocks_touched,
+                    table.num_active().astype(jnp.float32),
+                    stats_in[8],
+                ]
+            ),
+        ]
+    )
+    runlog_dev = runlog_dev.at[chunk_idx].set(row)
+    return (
+        table, traj, upd_masks, hist_d16, hist_c8, ring_frame, runlog_dev,
+        blocks_updated,
+    )
+
+
+@jax.jit
+def _accum_gc(gc_total: jax.Array, freed: jax.Array) -> jax.Array:
+    return gc_total + freed.astype(jnp.float32)
+
+
 @functools.partial(jax.jit, static_argnames=("cam", "cfg"))
 def _fuse_frames(
     table,
@@ -77,15 +318,11 @@ def _fuse_frames(
     cam: CameraModel,
     cfg,
 ):
-    """ONE fused device program for all TSDF pose maintenance: initial
-    integration (deint_valid all-False), re-integration after pose drift, pure
-    de-integration of invalidated frames, and integrate-only revalidation
-    catch-up. Frames are dequantized from the wire-format ring on device; the
-    dequantization is elementwise and deterministic, so a frame re-uploaded
-    from the host FrameStore de-integrates bit-exactly. De-integration uses
-    the update mask recorded at integrate time (tsdf.FuseDiag.upd_mask), so
-    it subtracts exactly what was added even under allocation overflow.
-    Returns (table, traj, upd_masks, FuseDiag)."""
+    """Explicit-slot TSDF pose-maintenance program (used by the multi-sequence
+    SPMD pipeline, where the caller manages the lockstep ring): de-integrate at
+    ``integrated_pose``, (re-)integrate at ``opt_pose``, update the trajectory
+    bookkeeping. The serial pipeline uses ``_plan_and_fuse``, which fuses the
+    planning step in as well."""
     depth = hist_d16[slots].astype(jnp.float32) * 1e-3
     color = hist_c8[slots].astype(jnp.float32) * (1.0 / 255.0)
     old_poses = traj.integrated_pose[frame_ids]
@@ -105,9 +342,6 @@ def _fuse_frames(
         integrated_pose=traj.integrated_pose.at[reint_ids].set(new_poses),
         integrated=traj.integrated.at[reint_ids].set(True),
     )
-    # measured block-update count (de-integration applies the recorded masks;
-    # integration's applied mask comes back in diag) — the honest
-    # voxel-updates metric, not a capacity-derived bound
     blocks_touched = (
         jnp.sum(upd_masks[frame_ids] & deint_valid[:, None])
         + jnp.sum(diag.upd_mask)
@@ -116,11 +350,30 @@ def _fuse_frames(
     return table, traj, upd_masks, diag, blocks_touched
 
 
-@jax.jit
-def _quantize_depth16(depth: jax.Array) -> jax.Array:
-    """float meters -> uint16 mm (wire format); the inverse of the fuse
-    program's dequantization, used when integrating *filtered* depth."""
-    return jnp.clip(jnp.round(depth * 1000.0), 0, 65535).astype(jnp.uint16)
+def _bilateral_wire_np(d16: np.ndarray, sigma_d: float, sigma_r: float) -> np.ndarray:
+    """Host-side bilateral filter on wire-format depth (uint16 mm), used when
+    ``integrate_filtered_depth`` is on. Filtering happens BEFORE the wire so
+    ring, FrameStore and every device program share identical bytes — the
+    de-integration exactness invariant needs no cross-program float identity.
+    Mirrors ``ops.preprocess.bilateral_filter_depth`` (5x5, gaussian space
+    weight, gaussian range weight, zero-depth-aware)."""
+    d = d16.astype(np.float32) * 1e-3
+    radius = 2
+    ys, xs = np.mgrid[-radius : radius + 1, -radius : radius + 1]
+    acc = np.zeros_like(d)
+    wacc = np.zeros_like(d)
+    valid = d > 0
+    for dy, dx, ws in zip(
+        ys.ravel(), xs.ravel(),
+        np.exp(-(ys.ravel() ** 2 + xs.ravel() ** 2) / (2 * sigma_d**2)),
+    ):
+        n = np.roll(np.roll(d, dy, axis=0), dx, axis=1)
+        nv = np.roll(np.roll(valid, dy, axis=0), dx, axis=1)
+        w = ws * np.exp(-((n - d) ** 2) / (2 * sigma_r**2)) * nv
+        acc += w * n
+        wacc += w
+    out = np.where(valid & (wacc > 0), acc / np.maximum(wacc, 1e-12), 0.0)
+    return np.clip(np.round(out * 1000.0), 0, 65535).astype(np.uint16)
 
 
 class PipelineOutputs(NamedTuple):
@@ -145,10 +398,10 @@ class BundleFusion:
         # mesh: optional jax.sharding.Mesh — when set, the global BA runs
         # multi-chip (sharded assembly + row-sharded PCG, parallel/sharded_ba)
         self.mesh = mesh
-        # profile=True inserts a device sync after every stage so the timing
-        # table attributes cost correctly; profile=False lets XLA queue the
-        # whole chunk's programs back-to-back (async dispatch), which is the
-        # production mode — only genuinely required host syncs remain.
+        # profile=True inserts a device sync (block_until_ready — never a
+        # readback) after every stage so the timing table attributes cost
+        # correctly; profile=False lets XLA queue the whole chunk's programs
+        # back-to-back (production mode).
         self.profile = profile
         self.config = config or Config()
         self.config.validate()
@@ -168,6 +421,7 @@ class BundleFusion:
         self.table = blocks.make_table(ac.block_capacity)
         self.graph = global_graph.make_graph(bc, bc.cache_height, bc.cache_width)
         self.traj = trajectory.make_trajectory(bc.max_frames)
+        self.ctrl = make_ctrl()
 
         self.num_frames = 0
         self.num_keyframes = 0
@@ -177,24 +431,20 @@ class BundleFusion:
         # integrate/de-integrate, and host count of executed GN iterations
         self.blocks_updated = jnp.float32(0.0)
         self.gn_iters_executed = 0
-        self.tracking_lost = False
-        self.lost_chunks = 0
-        self.consecutive_invalid = 0
+        self._gc_freed_total = jnp.float32(0.0)
         # world pose anchoring the first keyframe (identity, or GT frame-0
         # pose when evaluating against ground truth)
         self.anchor = np.eye(4, dtype=np.float32) if anchor_pose is None else anchor_pose
+        self._anchor_dev = jnp.asarray(self.anchor)
 
-        self._pending: list[tuple[np.ndarray, np.ndarray]] = []  # (depth, color)
         # Frame storage for de/re-integration (reference: TrajectoryManager +
         # CPU-resident integrate frames over the WHOLE sequence):
         #   * host FrameStore: every frame ever pushed, wire format (uint16 mm
         #     depth + uint8 color, ~1.5 MB/frame at 640x480) — the authority;
-        #   * device ring: an LRU cache of the same wire data, so the common
-        #     case (recent frames) re-integrates with zero host traffic, and
-        #     any older frame is re-uploaded into the ring on demand.
-        # Because both tiers hold identical wire bytes and the fuse program
-        # dequantizes on device, de-integration stays bit-exact regardless of
-        # which tier served the frame.
+        #   * device ring: a direct-mapped cache of the same wire bytes
+        #     (slot = frame_id % R, residency tracked in ring_frame), so the
+        #     common case (frames newer than R ago) re-integrates with zero
+        #     host traffic; older frames are serviced at finalize().
         self.history_cap = min(bc.max_frames, ac.history_ring_frames)
         if self.history_cap < bc.chunk_size:
             raise ValueError(
@@ -203,19 +453,16 @@ class BundleFusion:
             )
         self._hist_d16 = jnp.zeros((self.history_cap, cam.height, cam.width), jnp.uint16)
         self._hist_c8 = jnp.zeros((self.history_cap, cam.height, cam.width, 3), jnp.uint8)
-        self._hist_slot: dict[int, int] = {}  # frame_id -> ring slot
-        self._slot_frame: dict[int, int] = {}  # ring slot -> frame_id
-        self._hist_next = 0
+        self._ring_frame = jnp.full((self.history_cap,), -1, jnp.int32)
         self._frame_store: dict[int, tuple[np.ndarray, np.ndarray]] = {}
-        self._ring_uploads_chunk = 0
+        self._next_fid = 0
+        self._ring_uploads = 0
         self._gc_jit = jax.jit(blocks.garbage_collect)
         # per-frame update-block masks recorded at integrate time; required
         # for exact de-integration under allocation overflow (tsdf.FuseDiag)
         self._upd_masks = jnp.zeros(
             (bc.max_frames, ac.blocks_per_frame_cap), bool
         )
-        self._local_trajs: list[np.ndarray] = []  # per chunk [S+1, 4, 4] (host copy)
-        self._chunk_valid: list[bool] = []
         # device-side fixed-capacity local-trajectory store: growing shapes
         # would recompile the publish program every chunk
         self.max_chunks = bc.max_frames // self.S
@@ -223,11 +470,24 @@ class BundleFusion:
             jnp.eye(4), (self.max_chunks, self.chunk_frames, 4, 4)
         )
         self._chunk_valid_dev = jnp.zeros(self.max_chunks, bool)
+        # +1 scratch row: finalize's service rounds log there, never over a
+        # real chunk's record
+        self._runlog_dev = jnp.zeros((self.max_chunks + 1, RUNREC_WIDTH), jnp.float32)
 
-        # out-of-core streaming (CUDASceneRepChunkGrid analog; config-5 scale)
+        self._pending: list[tuple[jax.Array, jax.Array]] = []  # device (d16, c8)
+        self._bp_tokens: list = []  # backpressure: block on chunk c-2's output
+        self._finalized = False
+        self._reloc_seen = 0
+
+        # out-of-core streaming (CUDASceneRepChunkGrid analog; config-5 scale).
+        # Interacting with the host store requires device readbacks, which
+        # drop this machine's tunnel out of its fast upload mode — so the
+        # occupancy check runs every `streaming_check_every` chunks (and every
+        # chunk once streaming has engaged), not per chunk.
         from ..fusion.streaming import HostBlockStore
 
         self.block_store = HostBlockStore(chunk_blocks=ac.streaming_chunk_blocks)
+        self._streaming_on = False
 
         self.timing = TimingLog()
         self.runlog = RunLog(log_path)
@@ -239,13 +499,23 @@ class BundleFusion:
     def push_frame(self, depth: np.ndarray, color: np.ndarray) -> None:
         """Feed one frame; chunks are processed as soon as complete.
 
-        Frames are held (and shipped to the device) in the sensor's compact
-        wire format — uint16 depth in mm, uint8 color — quartering the
-        host->device traffic; the chunk program converts on device.
+        Frames convert to the sensor wire format on the host — uint16 depth in
+        mm, uint8 color, quartering host->device traffic — then upload
+        asynchronously; the device programs do all dequantization.
         """
         d16 = (np.clip(depth, 0.0, 65.0) * 1000.0).astype(np.uint16)
         c8 = (np.clip(color, 0.0, 1.0) * 255.0).astype(np.uint8)
-        self._pending.append((d16, c8))
+        if self.config.app.integrate_filtered_depth:
+            # filter at the wire level so ring, FrameStore and every device
+            # program share identical bytes (exact de-integration for free);
+            # the chunk program then skips its own depth filter
+            d16 = _bilateral_wire_np(
+                d16, self.config.app.depth_sigma_d, self.config.app.depth_sigma_r
+            )
+        fid = self._next_fid
+        self._next_fid += 1
+        self._frame_store[fid] = (d16, c8)
+        self._pending.append((jnp.asarray(d16), jnp.asarray(c8)))
         self._maybe_process_chunk()
 
     def push_batch(self, depth: np.ndarray, color: np.ndarray, valid=None) -> None:
@@ -264,9 +534,9 @@ class BundleFusion:
             take = self._pending[: self.chunk_frames]
             if len(take) < self.chunk_frames:
                 return
-            depth = np.stack([t[0] for t in take])
-            color = np.stack([t[1] for t in take])
-            self._process_chunk(depth, color)
+            d16 = jnp.stack([t[0] for t in take])
+            c8 = jnp.stack([t[1] for t in take])
+            self._process_chunk(d16, c8)
             # drop consumed frames, keep the overlap frame
             self._pending = self._pending[self.S :]
 
@@ -274,7 +544,7 @@ class BundleFusion:
     # core per-chunk step
     # ------------------------------------------------------------------
 
-    def _process_chunk(self, depth: np.ndarray, color: np.ndarray) -> None:
+    def _process_chunk(self, d_wire: jax.Array, c_wire: jax.Array) -> None:
         bc = self.config.bundling
         ac = self.config.app
         c = self.chunk_count
@@ -282,9 +552,15 @@ class BundleFusion:
         k_idx = c  # one keyframe per chunk
         _t_chunk_start = __import__("time").perf_counter()
 
-        with self.timing.stage("chunk_local"):
-            d_wire = jnp.asarray(depth)
-            c_wire = jnp.asarray(color)
+        # backpressure: cap dispatch runahead at ~2 chunks. block_until_ready
+        # is a pure wait (no readback), so the fast upload path survives.
+        if len(self._bp_tokens) >= 2 and not self.profile:
+            jax.block_until_ready(self._bp_tokens.pop(0))
+
+        with self.timing.stage(
+            "chunk_local",
+            block=(lambda: res.local_traj) if self.profile else None,
+        ):
             res = chunk_mod.process_chunk(
                 d_wire,
                 c_wire,
@@ -293,218 +569,180 @@ class BundleFusion:
                 bc,
                 sigma_d=ac.depth_sigma_d,
                 sigma_r=ac.depth_sigma_r,
-                filter_depth=ac.depth_filter,
+                # with integrate_filtered_depth the wire is already filtered
+                filter_depth=ac.depth_filter and not ac.integrate_filtered_depth,
             )
-            jax.block_until_ready(res.local_traj)
 
         self.gn_iters_executed += bc.local_gn_iters * 2  # 2 solve+prune rounds
-        chunk_valid = bool(res.chunk_valid)
-        local_traj = np.asarray(res.local_traj)
-        self._local_trajs.append(local_traj)
         self._local_traj_dev = self._local_traj_dev.at[c].set(res.local_traj)
+        self._chunk_valid_dev = self._chunk_valid_dev.at[c].set(res.chunk_valid)
 
-        # --- keyframe pose initialization (chain from previous keyframe) ---
-        if k_idx == 0:
-            init_pose = jnp.asarray(self.anchor)
-            kf_valid = chunk_valid
-        elif self._kf_valid(k_idx - 1) and chunk_valid and not self.tracking_lost:
-            prev_pose = self.graph.poses[k_idx - 1]
-            rel = jnp.asarray(self._local_trajs[k_idx - 1][-1])
-            init_pose = prev_pose @ rel
-            kf_valid = True
-        else:
-            init_pose = jnp.asarray(self.anchor)  # provisional; relocalization fixes it
-            kf_valid = False
-
-        with self.timing.stage("graph_add", block=(lambda: self.graph.poses) if self.profile else None):
-            self.graph = global_graph.add_keyframe(
+        # --- keyframe graph: add + match + relocalize + state machine ---
+        with self.timing.stage(
+            "graph_step", block=(lambda: self.graph.poses) if self.profile else None
+        ):
+            self.graph, self.ctrl, integrate_mask, kf_valid, gstats = _graph_step(
                 self.graph,
+                self.ctrl,
                 jnp.int32(k_idx),
                 res.keyframe_keys,
                 res.keyframe_cache,
-                init_pose,
-                jnp.asarray(kf_valid and chunk_valid),
+                res.local_traj,
+                res.chunk_valid,
+                self._anchor_dev,
+                self.cache_cam,
+                bc,
+                is_first=(k_idx == 0),
             )
-
-        # --- global matching: loop closure + relocalization ---
-        relinked = False
-        if k_idx > 0 and chunk_valid:
-            with self.timing.stage("global_match"):
-                mres = global_graph.global_match(
-                    self.graph, jnp.int32(k_idx), self.cache_cam, bc
-                )
-                jax.block_until_ready(mres.any_valid)
-            self.graph = mres.graph
-            if bool(mres.any_valid) and not kf_valid:
-                # relocalize: place the keyframe from its best global match
-                j = int(mres.best_prev)
-                T_rel = mres.transforms[j]  # j-cam -> new-cam
-                pose = self.graph.poses[j] @ se3.mat_inverse(T_rel)
-                self.graph = self.graph._replace(
-                    poses=self.graph.poses.at[k_idx].set(pose),
-                    valid=self.graph.valid.at[k_idx].set(True),
-                )
-                kf_valid = True
-                relinked = True
-            # (a chain-linked keyframe with no global match stays valid —
-            # odometry mode; the reference likewise relies on later loop
-            # closures rather than invalidating it)
-
-        # --- tracking-lost state machine ---
-        if chunk_valid and kf_valid:
-            self.tracking_lost = False
-            self.consecutive_invalid = 0
-        else:
-            self.consecutive_invalid += 1
-            if self.consecutive_invalid >= bc.max_invalid_chunks_lost or not kf_valid:
-                if chunk_valid and not kf_valid:
-                    self.tracking_lost = True
-            if self.tracking_lost or not chunk_valid:
-                self.lost_chunks += 1
-        reval = 0
-        if relinked:
-            self.tracking_lost = False
-            self.consecutive_invalid = 0
-            # relocalization succeeded: try to bring stale invalidated
-            # keyframes back into the graph (reference revalidates frames
-            # once the camera is found again, SURVEY.md §0 item 4); their
-            # frames re-enter the TSDF via the trajectory manager's
-            # integrate-only class on the next budgeted step
-            with self.timing.stage("revalidate"):
-                reval = self._revalidate_stale()
-
-        # store LOCAL chunk validity only; keyframe validity comes live from
-        # graph.valid at publish time, so a later revalidation of keyframe k
-        # (relocalization) automatically revalidates its chunk's frames
-        self._chunk_valid.append(chunk_valid)
-        self._chunk_valid_dev = self._chunk_valid_dev.at[c].set(chunk_valid)
-        integrate_now = chunk_valid and kf_valid
         self.num_keyframes = k_idx + 1
 
         # --- global BA ---
         if self.num_keyframes > 1:
-            with self.timing.stage("global_solve", block=(lambda: self.graph.poses) if self.profile else None):
+            with self.timing.stage(
+                "global_solve",
+                block=(lambda: self.graph.poses) if self.profile else None,
+            ):
                 if self.mesh is not None:
                     self.graph, removed = global_graph.global_solve_sharded(
                         self.graph, self.mesh, self.cache_cam, bc
                     )
                 else:
-                    self.graph, gstats, removed = global_graph.global_solve(
+                    self.graph, _, removed = global_graph.global_solve(
                         self.graph, self.cache_cam, bc
                     )
             self.gn_iters_executed += bc.global_gn_iters
 
         # --- publish optimized trajectory for all frames so far ---
-        with self.timing.stage("publish", block=(lambda: self.traj.opt_pose) if self.profile else None):
+        with self.timing.stage(
+            "publish", block=(lambda: self.traj.opt_pose) if self.profile else None
+        ):
             self._publish_trajectory()
 
-        # --- stash the chunk's frames (wire format) in the device ring + the
-        # host FrameStore, then integrate via the unified fuse program. The
-        # ring and store hold the SAME bytes the fuse program dequantizes, so
-        # a frame re-uploaded from the host years later de-integrates exactly.
+        # --- fused plan + ring write + de/re-integration + diagnostics ---
         lo = 0 if c == 0 else 1
-        new_local = np.arange(lo, self.chunk_frames)
-        new_ids = [int(first_frame + i) for i in new_local]
-        if ac.integrate_filtered_depth:
-            d16_chunk = _quantize_depth16(res.frames.depth)
-        else:
-            d16_chunk = d_wire
-        slots = self._ring_assign(new_ids)
-        slots_a = jnp.asarray(slots, jnp.int32)
-        self._hist_d16 = self._hist_d16.at[slots_a].set(d16_chunk[lo:])
-        self._hist_c8 = self._hist_c8.at[slots_a].set(c_wire[lo:])
-        self.num_frames = max(self.num_frames, new_ids[-1] + 1)
-        # host authority copies (one depth download per chunk only when
-        # integrating filtered depth; the raw path reuses the input arrays)
-        d16_host = np.asarray(d16_chunk) if ac.integrate_filtered_depth else depth
-        for i, f in zip(new_local, new_ids):
-            self._frame_store[f] = (d16_host[i], color[i])
-
-        diag = None
-        if integrate_now:
-            with self.timing.stage("integrate", block=(lambda: self.table.weight) if self.profile else None):
-                self.table, self.traj, self._upd_masks, diag, nblk = _fuse_frames(
-                    self.table,
-                    self.traj,
-                    self._upd_masks,
-                    self._hist_d16,
-                    self._hist_c8,
-                    slots_a,
-                    jnp.asarray(new_ids, jnp.int32),
-                    jnp.zeros(len(new_ids), bool),
-                    jnp.ones(len(new_ids), bool),
-                    self.cam,
-                    ac,
-                )
-                self.blocks_updated = self.blocks_updated + nblk
-
-        # --- budgeted re-integration (the paper's key trick) ---
-        with self.timing.stage("reint_plan_apply"):
-            n_reint, reint_overflow = self._reintegrate(
-                ac.max_reintegrations_per_frame * self.S
+        new_ids_host = list(range(first_frame + lo, first_frame + self.chunk_frames))
+        self.num_frames = max(self.num_frames, new_ids_host[-1] + 1)
+        reloc, pair_count, lost, lost_chunks = gstats
+        stats_in = jnp.stack(
+            [
+                res.chunk_valid.astype(jnp.float32),
+                kf_valid.astype(jnp.float32),
+                reloc.astype(jnp.float32),
+                lost.astype(jnp.float32),
+                jnp.sum(res.num_keys).astype(jnp.float32),
+                jnp.sum(res.num_matches).astype(jnp.float32),
+                jnp.sum(res.pair_valid).astype(jnp.float32),
+                self.graph.corr_cursor.astype(jnp.float32),
+                lost_chunks.astype(jnp.float32),
+            ]
+        )
+        budget = ac.max_reintegrations_per_frame * self.S
+        with self.timing.stage(
+            "plan_fuse", block=(lambda: self.table.weight) if self.profile else None
+        ):
+            (
+                self.table,
+                self.traj,
+                self._upd_masks,
+                self._hist_d16,
+                self._hist_c8,
+                self._ring_frame,
+                self._runlog_dev,
+                self.blocks_updated,
+            ) = _plan_and_fuse(
+                self.table,
+                self.traj,
+                self._upd_masks,
+                self._hist_d16,
+                self._hist_c8,
+                self._ring_frame,
+                self._runlog_dev,
+                jnp.int32(c),
+                stats_in,
+                d_wire[lo:],
+                c_wire[lo:],
+                jnp.asarray(new_ids_host, jnp.int32),
+                integrate_mask,
+                jnp.int32(new_ids_host[0]),
+                self._gc_freed_total,
+                self.blocks_updated,
+                self.cam,
+                ac,
+                budget,
             )
 
         # --- TSDF garbage collection: after de-integration, fully unobserved
         # blocks return capacity to the pool (reference GCs per frame) ---
-        freed = None
         if ac.gc_every_chunks and (c + 1) % ac.gc_every_chunks == 0:
-            self.table, freed = self._gc_jit(self.table)
+            with self.timing.stage(
+                "gc", block=(lambda: self.table.weight) if self.profile else None
+            ):
+                self.table, freed = self._gc_jit(self.table)
+                self._gc_freed_total = _accum_gc(self._gc_freed_total, freed)
 
-        # --- out-of-core streaming: evict far blocks / restore near ones
-        # around the current camera (reference: interleaved with integration) ---
-        active_blocks = int(self.table.num_active())
-        if ac.streaming_enabled and integrate_now:
-            from ..fusion import streaming
+        # --- out-of-core streaming: evict far blocks / restore near ones.
+        # The occupancy check reads device state (slow-path cost on the
+        # tunnel), so it runs every streaming_check_every chunks until the
+        # first activation, then every chunk.
+        if ac.streaming_enabled:
+            check = self._streaming_on or (
+                ac.streaming_check_every
+                and (c + 1) % ac.streaming_check_every == 0
+            )
+            if check:
+                self._streaming_step(k_idx, c)
 
-            cam_pos = np.asarray(self.graph.poses[k_idx])[:3, 3]
-            n_in = n_out = 0
-            with self.timing.stage("streaming"):
-                if len(self.block_store):
-                    self.table, n_in = streaming.stream_in(
-                        self.table,
-                        self.block_store,
-                        cam_pos,
-                        ac,
-                        free_capacity=ac.block_capacity - active_blocks,
-                    )
-                    active_blocks += n_in
-                # stream-out engages only past the occupancy watermark so
-                # small scenes never pay host traffic
-                if active_blocks > ac.streaming_watermark * ac.block_capacity:
-                    self.table, n_out = streaming.stream_out(
-                        self.table, self.block_store, cam_pos, ac
-                    )
-                    active_blocks -= n_out
-            if n_in or n_out:
-                self.runlog.log(chunk=c, stream_in=n_in, stream_out=n_out,
-                                host_blocks=len(self.block_store))
+        # mid-run revalidation (optional): reference revalidates frames once
+        # the camera is found again. The check reads a device counter, so by
+        # default it is deferred to finalize(); set revalidate_every_chunks
+        # to trade upload speed for earlier geometry recovery.
+        if bc.revalidate_every_chunks and (c + 1) % bc.revalidate_every_chunks == 0:
+            if int(self.ctrl.reloc_events) > self._reloc_seen:
+                self._reloc_seen = int(self.ctrl.reloc_events)
+                n = self._revalidate_stale()
+                if n:
+                    self._post_revalidate_solve()
 
-        self.runlog.log(
-            chunk=c,
-            chunk_valid=chunk_valid,
-            kf_valid=kf_valid,
-            num_keys=np.asarray(res.num_keys).tolist(),
-            filtered_matches=int(np.asarray(res.num_matches).sum()),
-            pairs_valid=int(np.asarray(res.pair_valid).sum()),
-            tracking_lost=self.tracking_lost,
-            active_blocks=active_blocks,
-            corr_cursor=int(self.graph.corr_cursor),
-            alloc_overflow=int(diag.overflow) if diag is not None else 0,
-            patch_overflow=int(diag.patch_overflow) if diag is not None else 0,
-            reint_frames=n_reint,
-            reint_overflow=reint_overflow,
-            revalidated=reval,
-            gc_freed=int(freed) if freed is not None else 0,
-            ring_uploads=self._ring_uploads_chunk,
+        self._bp_tokens.append(self._runlog_dev)
+        self.timing.record(
+            "whole_chunk_step", __import__("time").perf_counter() - _t_chunk_start
         )
-        self._ring_uploads_chunk = 0
-        self.timing.record("whole_chunk_step", __import__("time").perf_counter() - _t_chunk_start)
         self.chunk_count += 1
 
     # ------------------------------------------------------------------
 
-    def _kf_valid(self, k: int) -> bool:
-        return bool(self.graph.valid[k])
+    def _streaming_step(self, k_idx: int, c: int) -> None:
+        from ..fusion import streaming
+
+        ac = self.config.app
+        active_blocks = int(self.table.num_active())
+        cam_pos = np.asarray(self.graph.poses[k_idx])[:3, 3]
+        n_in = n_out = 0
+        with self.timing.stage("streaming"):
+            if len(self.block_store):
+                self.table, n_in = streaming.stream_in(
+                    self.table,
+                    self.block_store,
+                    cam_pos,
+                    ac,
+                    free_capacity=ac.block_capacity - active_blocks,
+                )
+                active_blocks += n_in
+            # stream-out engages only past the occupancy watermark so
+            # small scenes never pay host traffic
+            if active_blocks > ac.streaming_watermark * ac.block_capacity:
+                self.table, n_out = streaming.stream_out(
+                    self.table, self.block_store, cam_pos, ac
+                )
+                active_blocks -= n_out
+        if n_in or n_out:
+            self._streaming_on = True
+            self.runlog.log(
+                chunk=c,
+                stream_in=n_in,
+                stream_out=n_out,
+                host_blocks=len(self.block_store),
+            )
 
     def _revalidate_stale(self, max_per_event: int = 8) -> int:
         """Re-match stale invalidated keyframes against the whole valid graph
@@ -513,6 +751,7 @@ class BundleFusion:
         candidates — a chunk that failed its own local solve has no trusted
         local trajectory to publish."""
         bc = self.config.bundling
+        chunk_valid_np = np.asarray(self._chunk_valid_dev[: self.num_keyframes])
         n_re = 0
         # iterate to a fixpoint: a chunk that links only through a just-
         # revalidated neighbor recovers in a later round (chains of stale
@@ -522,7 +761,7 @@ class BundleFusion:
             stale = [
                 k
                 for k in range(self.num_keyframes)
-                if not valid_np[k] and self._chunk_valid[k]
+                if not valid_np[k] and chunk_valid_np[k]
             ]
             progressed = 0
             for k in stale[:max_per_event]:
@@ -544,6 +783,19 @@ class BundleFusion:
                 break
         return n_re
 
+    def _post_revalidate_solve(self) -> None:
+        bc = self.config.bundling
+        if self.num_keyframes > 1:
+            if self.mesh is not None:
+                self.graph, _ = global_graph.global_solve_sharded(
+                    self.graph, self.mesh, self.cache_cam, bc
+                )
+            else:
+                self.graph, _, _ = global_graph.global_solve(
+                    self.graph, self.cache_cam, bc
+                )
+        self._publish_trajectory()
+
     def _publish_trajectory(self) -> None:
         """complete trajectory = keyframe pose ∘ local relative pose.
 
@@ -551,7 +803,7 @@ class BundleFusion:
         chunk slots are masked, so the shape (and thus the compilation) never
         changes as the sequence grows.
         """
-        if not self._local_trajs:
+        if self.chunk_count == 0 and self.num_keyframes == 0:
             return
         self.traj = _publish_all(
             self.traj,
@@ -564,97 +816,84 @@ class BundleFusion:
         )
 
     # ------------------------------------------------------------------
-    # frame ring (device LRU cache over the host FrameStore)
+    # finalize: recovery sweeps + host-store re-integration service
     # ------------------------------------------------------------------
 
-    def _ring_assign(self, frame_ids: list[int], protect: tuple | list = ()) -> list[int]:
-        """Map frames to ring slots, evicting round-robin. Slots holding
-        frames in `protect` (or assigned during this call) are never evicted.
-        O(1) per eviction via the slot->frame reverse map."""
-        protected = {self._hist_slot[f] for f in protect if f in self._hist_slot}
-        out = []
-        for f in frame_ids:
-            if f in self._hist_slot:
-                s = self._hist_slot[f]
-            else:
-                for _ in range(self.history_cap + 1):
-                    s = self._hist_next % self.history_cap
-                    self._hist_next += 1
-                    if s not in protected:
-                        break
-                else:
-                    raise RuntimeError("frame ring exhausted by protected slots")
-                old = self._slot_frame.pop(s, None)
-                if old is not None:
-                    del self._hist_slot[old]
-                self._hist_slot[f] = s
-                self._slot_frame[s] = f
-            protected.add(s)
-            out.append(s)
-        return out
-
-    def _ring_ensure(self, frame_ids: list[int]) -> list[int]:
-        """Guarantee every frame is ring-resident, re-uploading spilled frames
-        from the host FrameStore in one batched device write."""
-        missing = [f for f in frame_ids if f not in self._hist_slot]
-        if missing:
-            slots = self._ring_assign(missing, protect=frame_ids)
-            d = np.stack([self._frame_store[f][0] for f in missing])
-            cc = np.stack([self._frame_store[f][1] for f in missing])
-            sa = jnp.asarray(slots, jnp.int32)
-            self._hist_d16 = self._hist_d16.at[sa].set(jnp.asarray(d))
-            self._hist_c8 = self._hist_c8.at[sa].set(jnp.asarray(cc))
-            self._ring_uploads_chunk += len(missing)
-        return [self._hist_slot[f] for f in frame_ids]
-
-    def _reintegrate(self, budget: int) -> tuple[int, int]:
-        """Apply one budgeted de/re-integration step (SURVEY.md §3.4): plan on
-        device, one host sync for the work list, re-upload any spilled frames
-        into the ring, then ONE fused device program (gather + de-integrate +
-        re-integrate + bookkeeping). Every planned frame is actionable — the
-        host FrameStore holds the whole sequence, so re-integration has no
-        history horizon. Returns (frames touched, alloc overflow)."""
-        # the work list must fit the ring alongside nothing else (all planned
-        # frames are ring-pinned during the fused program)
-        budget = min(budget, self.history_cap)
-        if budget <= 0:
-            return 0, 0
-        plan = trajectory.plan_reintegration(self.traj, budget)
-        frames_np, deint_np, reint_np = jax.device_get(
-            (plan.frames, plan.deint_mask, plan.reint_mask)
-        )  # one host sync per chunk
-        work = deint_np | reint_np
-        if not work.any():
-            return 0, 0
-        ids = [int(f) for f in frames_np[work]]
-        deint = [bool(x) for x in deint_np[work]]
-        reint = [bool(x) for x in reint_np[work]]
-        slots = self._ring_ensure(ids)
-        pad = budget - len(ids)
-        ids_p = np.array(ids + ids[:1] * pad, np.int32)
-        slots_p = np.array(slots + slots[:1] * pad, np.int32)
-        deint_p = np.array(deint + [False] * pad)
-        reint_p = np.array(reint + [False] * pad)
-        with self.timing.stage("reint_apply", block=(lambda: self.table.weight) if self.profile else None):
-            self.table, self.traj, self._upd_masks, diag, nblk = _fuse_frames(
+    def _service_reintegration(self, max_rounds: int | None = None) -> int:
+        """Drain the re-integration backlog, re-uploading ring-spilled frames
+        from the host FrameStore (SURVEY.md §3.4 — the reference keeps every
+        integrate-frame CPU-resident for exactly this). Host-driven: reads the
+        plan, uploads missing frames to their canonical slots, then dispatches
+        the same fused program the steady state uses. Returns frames touched."""
+        ac = self.config.app
+        budget = ac.max_reintegrations_per_frame * self.S
+        if budget <= 0 or self.num_frames == 0:
+            return 0
+        rounds = max_rounds if max_rounds is not None else max(2, self.num_keyframes * 2)
+        r_cap = self.history_cap
+        total = 0
+        empty_d = jnp.zeros((0, self.cam.height, self.cam.width), jnp.uint16)
+        empty_c = jnp.zeros((0, self.cam.height, self.cam.width, 3), jnp.uint8)
+        for _ in range(rounds):
+            plan = trajectory.plan_reintegration(
+                self.traj, budget, exclude_from=jnp.int32(self.num_frames)
+            )
+            frames_np, d_np, r_np = jax.device_get(
+                (plan.frames, plan.deint_mask, plan.reint_mask)
+            )
+            work = d_np | r_np
+            if not work.any():
+                break
+            ids = [int(f) for f in frames_np[work]]
+            ring_np = np.asarray(self._ring_frame)
+            # choose at most one frame per ring slot this round (plan order =
+            # priority order); the rest re-surface in the next round
+            chosen: dict[int, int] = {}
+            for f in ids:
+                chosen.setdefault(f % r_cap, f)
+            ups = [f for s, f in chosen.items() if ring_np[s] != f]
+            if ups:
+                d = np.stack([self._frame_store[f][0] for f in ups])
+                cc = np.stack([self._frame_store[f][1] for f in ups])
+                sl = jnp.asarray([f % r_cap for f in ups], jnp.int32)
+                self._hist_d16 = self._hist_d16.at[sl].set(jnp.asarray(d))
+                self._hist_c8 = self._hist_c8.at[sl].set(jnp.asarray(cc))
+                self._ring_frame = self._ring_frame.at[sl].set(
+                    jnp.asarray(ups, jnp.int32)
+                )
+                self._ring_uploads += len(ups)
+            (
                 self.table,
                 self.traj,
                 self._upd_masks,
                 self._hist_d16,
                 self._hist_c8,
-                jnp.asarray(slots_p),
-                jnp.asarray(ids_p),
-                jnp.asarray(deint_p),
-                jnp.asarray(reint_p),
+                self._ring_frame,
+                self._runlog_dev,
+                self.blocks_updated,
+            ) = _plan_and_fuse(
+                self.table,
+                self.traj,
+                self._upd_masks,
+                self._hist_d16,
+                self._hist_c8,
+                self._ring_frame,
+                self._runlog_dev,
+                jnp.int32(self.max_chunks),  # scratch row
+                jnp.zeros(9, jnp.float32),
+                empty_d,
+                empty_c,
+                jnp.zeros((0,), jnp.int32),
+                jnp.bool_(False),
+                jnp.int32(self.num_frames),
+                self._gc_freed_total,
+                self.blocks_updated,
                 self.cam,
-                self.config.app,
+                ac,
+                budget,
             )
-            self.blocks_updated = self.blocks_updated + nblk
-        return len(ids), int(diag.overflow)
-
-    # ------------------------------------------------------------------
-    # outputs
-    # ------------------------------------------------------------------
+            total += len(chosen)
+        return total
 
     def flush(self) -> None:
         """Process any tail frames as a final (possibly short) chunk by
@@ -662,27 +901,57 @@ class BundleFusion:
         `_pending` always starts with the overlap frame (already processed),
         so >= 2 pending means there is at least one genuinely new frame."""
         if 2 <= len(self._pending) < self.chunk_frames:
-            last = self._pending[-1]
+            last_dev = self._pending[-1]
+            last_host = self._frame_store[self._next_fid - 1]
             while len(self._pending) < self.chunk_frames:
-                self._pending.append(last)
+                self._frame_store[self._next_fid] = last_host
+                self._next_fid += 1
+                self._pending.append(last_dev)
             self._maybe_process_chunk()
-        # end-of-sequence recovery: one final revalidation sweep + enough
-        # budgeted re-integration steps to drain the integrate-only backlog
-        if self.num_keyframes > 1:
+
+    def finalize(self) -> None:
+        """End-of-sequence recovery (idempotent): revalidate stale chunks if
+        any relocalization occurred, re-solve, then drain the re-integration
+        backlog including ring-spilled frames. The first device readbacks of a
+        default run happen here — after the real-time loop is over."""
+        if self._finalized:
+            return
+        self._finalized = True
+        self._bp_tokens.clear()
+        if self.num_keyframes > 1 and int(self.ctrl.reloc_events) > self._reloc_seen:
             if self._revalidate_stale():
-                if self.mesh is not None:
-                    self.graph, _ = global_graph.global_solve_sharded(
-                        self.graph, self.mesh, self.cache_cam, self.config.bundling
-                    )
-                else:
-                    self.graph, _, _ = global_graph.global_solve(
-                        self.graph, self.cache_cam, self.config.bundling
-                    )
-                self._publish_trajectory()
-                budget = self.config.app.max_reintegrations_per_frame * self.S
-                for _ in range(max(1, self.num_keyframes)):
-                    if self._reintegrate(budget)[0] == 0:
-                        break
+                self._post_revalidate_solve()
+        self._service_reintegration()
+        self._emit_runlog()
+
+    def _emit_runlog(self) -> None:
+        rows = np.asarray(self._runlog_dev[: self.chunk_count])
+        for c in range(rows.shape[0]):
+            rec = {k: float(v) for k, v in zip(RUNREC_FIELDS, rows[c])}
+            for k in (
+                "num_keys", "filtered_matches", "pairs_valid", "corr_cursor",
+                "alloc_overflow", "patch_overflow", "reint_frames", "ring_miss",
+                "blocks_touched", "active_blocks", "lost_chunks", "gc_freed_total",
+            ):
+                rec[k] = int(rec[k])
+            for k in ("chunk_valid", "kf_valid", "reloc", "tracking_lost"):
+                rec[k] = bool(rec[k])
+            self.runlog.log(chunk=c, **rec)
+        if self._ring_uploads:
+            self.runlog.log(ring_uploads=self._ring_uploads)
+
+    # ------------------------------------------------------------------
+    # outputs
+    # ------------------------------------------------------------------
+
+    @property
+    def tracking_lost(self) -> bool:
+        """Host view of the device state machine (reads device state)."""
+        return bool(self.ctrl.tracking_lost)
+
+    @property
+    def lost_chunks(self) -> int:
+        return int(self.ctrl.lost_chunks)
 
     def current_poses(self) -> tuple[np.ndarray, np.ndarray]:
         n = self.num_frames
@@ -735,12 +1004,13 @@ class BundleFusion:
         return np.asarray(raycast.shade_preview(res))
 
     def outputs(self) -> PipelineOutputs:
+        self.finalize()
         poses, valid = self.current_poses()
         return PipelineOutputs(
             poses=poses,
             valid=valid,
             num_keyframes=self.num_keyframes,
-            tracking_lost_chunks=self.lost_chunks,
+            tracking_lost_chunks=int(self.ctrl.lost_chunks),
         )
 
 
@@ -756,4 +1026,5 @@ def run_sequence(
     for batch in replayer:
         bf.push_batch(batch.depth, batch.color, batch.valid)
     bf.flush()
+    bf.finalize()
     return bf, bf.outputs()

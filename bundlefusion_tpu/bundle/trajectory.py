@@ -68,6 +68,7 @@ def plan_reintegration(
     budget: int,
     rot_thresh: float = 0.008,
     trans_thresh: float = 0.004,
+    exclude_from: jax.Array | None = None,
 ) -> ReintPlan:
     """Pick the `budget` frames most in need of fusion work. Three classes,
     by priority:
@@ -90,6 +91,14 @@ def plan_reintegration(
     )
     invalidated = ts.integrated & ~ts.opt_valid
     missing = ~ts.integrated & ts.opt_valid
+    if exclude_from is not None:
+        # planning runs BEFORE the current chunk's frames integrate (the fused
+        # plan+integrate program); frames at/after `exclude_from` are the new
+        # ones — they are integrated explicitly, never via the plan
+        allowed = jnp.arange(ts.integrated.shape[0]) < exclude_from
+        moved = moved & allowed
+        invalidated = invalidated & allowed
+        missing = missing & allowed
     score = jnp.where(
         invalidated,
         jnp.inf,

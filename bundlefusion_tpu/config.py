@@ -57,6 +57,11 @@ class AppConfig:
     # small scenes never pay host traffic; stream-in runs whenever the host
     # store holds blocks near the camera
     streaming_watermark: float = 0.5
+    # the occupancy check reads device state (a host round-trip that also
+    # costs this machine's tunnel its fast upload mode), so it runs every N
+    # chunks until streaming first engages, then every chunk; 0 disables the
+    # periodic check entirely
+    streaming_check_every: int = 16
 
     # --- raycast / preview ---
     raycast_width: int = 320
@@ -166,6 +171,11 @@ class BundlingConfig:
 
     # --- relocalization ---
     max_invalid_chunks_lost: int = 3  # consecutive invalid chunks => tracking lost
+    # revalidation of stale invalidated chunks is host-driven (it reads the
+    # device relocalization counter); by default it runs only at finalize() to
+    # keep the steady state readback-free — set N > 0 to also check (and
+    # recover geometry) every N chunks mid-run
+    revalidate_every_chunks: int = 0
 
     # --- dense-BA cache (CUDACache equivalent) ---
     cache_width: int = 80

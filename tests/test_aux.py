@@ -157,6 +157,7 @@ def test_pipeline_with_streaming(tmp_path):
             streaming_enabled=True,
             streaming_radius=2.2,
             streaming_watermark=0.0,  # stream by radius regardless of occupancy
+            streaming_check_every=1,
         ),
         bundling=base.bundling,
     )
@@ -216,6 +217,7 @@ def test_streaming_multiroom_out_of_core():
             streaming_enabled=True,
             streaming_radius=1.8,
             streaming_watermark=0.3,
+            streaming_check_every=1,
             block_capacity=2048,
         ),
         bundling=base.bundling,

@@ -137,8 +137,7 @@ def test_revalidation_recovers_invalidated_chunk():
     # post-opt invalidation (as max-residual pruning does): keyframe drops out
     bf.graph = bf.graph._replace(valid=bf.graph.valid.at[k].set(False))
     bf._publish_trajectory()
-    for _ in range(6):
-        bf._reintegrate(cfg.app.max_reintegrations_per_frame * S)
+    bf._service_reintegration()
     integ = np.asarray(bf.traj.integrated)[frames]
     assert not integ.any(), f"invalidated frames must be de-integrated: {integ}"
 
@@ -147,7 +146,6 @@ def test_revalidation_recovers_invalidated_chunk():
     assert n_re >= 1, "stale keyframe should re-link against the graph"
     assert bool(bf.graph.valid[k])
     bf._publish_trajectory()
-    for _ in range(6):
-        bf._reintegrate(cfg.app.max_reintegrations_per_frame * S)
+    bf._service_reintegration()
     integ = np.asarray(bf.traj.integrated)[frames]
     assert integ.all(), f"revalidated frames must be re-integrated: {integ}"

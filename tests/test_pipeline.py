@@ -47,8 +47,8 @@ def test_reintegration_unbounded_history():
     )
     rep = Replayer(SyntheticSource(seq), batch_size=4)
     bf, out = run_sequence(rep, cfg, anchor_pose=seq.poses[0])
-    # frame 0 left the 6-slot ring long ago but is integrated
-    assert 0 not in bf._hist_slot
+    # frame 0 left the 6-slot ring long ago (its slot holds a newer frame)
+    assert int(bf._ring_frame[0 % bf.history_cap]) != 0
     assert bool(bf.traj.integrated[0])
     old_pose = np.asarray(bf.traj.integrated_pose[0])
     # simulate a late loop-closure correction of frame 0's optimized pose
@@ -56,9 +56,11 @@ def test_reintegration_unbounded_history():
     bf.traj = trajectory.update_optimized(
         bf.traj, jnp.asarray([0]), shifted[None], jnp.asarray([True])
     )
-    n, _ = bf._reintegrate(budget=4)
+    uploads_before = bf._ring_uploads
+    n = bf._service_reintegration(max_rounds=1)
     assert n >= 1
-    assert bf._ring_uploads_chunk >= 1  # frame 0 came back from the host store
+    # frame 0 came back from the host FrameStore
+    assert bf._ring_uploads > uploads_before
     new_pose = np.asarray(bf.traj.integrated_pose[0])
     assert np.allclose(new_pose, np.asarray(shifted), atol=1e-6)
     assert bool(bf.traj.integrated[0])
@@ -74,11 +76,11 @@ def test_reintegration_restores_invalidated_then_revalidated():
     assert bool(bf.traj.integrated[2])
     # invalidate frame 2 -> planner should de-integrate it
     bf.traj = bf.traj._replace(opt_valid=bf.traj.opt_valid.at[2].set(False))
-    bf._reintegrate(budget=4)
+    bf._service_reintegration(max_rounds=1)
     assert not bool(bf.traj.integrated[2])
     # revalidate -> planner should integrate it back (integrate-only row)
     bf.traj = bf.traj._replace(opt_valid=bf.traj.opt_valid.at[2].set(True))
-    bf._reintegrate(budget=4)
+    bf._service_reintegration(max_rounds=1)
     assert bool(bf.traj.integrated[2])
 
 
