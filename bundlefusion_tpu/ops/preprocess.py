@@ -87,8 +87,10 @@ def gaussian_filter(x: jax.Array, sigma: float, radius: int | None = None) -> ja
     # give identical zero-padded-boundary math.
     gh = _gauss_band_matrix(h, sigma, radius, x.dtype)
     gw = _gauss_band_matrix(w, sigma, radius, x.dtype)
-    out = jnp.einsum("hk,...kw->...hw", gh, x)
-    out = jnp.einsum("...hw,kw->...hk", out, gw)
+    # 3-pass bf16 ('high') matmuls: ~1e-6 relative error on blur weights,
+    # half the MXU passes of the package-default f32-exact mode
+    out = jnp.einsum("hk,...kw->...hw", gh, x, precision="high")
+    out = jnp.einsum("...hw,kw->...hk", out, gw, precision="high")
     return out
 
 
@@ -312,8 +314,10 @@ def bilinear_sample_matmul(img: jax.Array, uv: jax.Array) -> tuple[jax.Array, ja
     ww = jnp.arange(w, dtype=img.dtype)
     tv = jnp.maximum(0.0, 1.0 - jnp.abs(vc[:, None] - hh[None, :]))  # [D, H]
     tu = jnp.maximum(0.0, 1.0 - jnp.abs(uc[:, None] - ww[None, :]))  # [D, W]
-    tmp = jnp.einsum("dh,hwc->dwc", tv, img)  # [D, W, C]
-    val = jnp.einsum("dwc,dw->dc", tmp, tu)  # [D, C]
+    # 3-pass bf16 contraction: exact-enough (~1e-6 rel) for association
+    # and verification at half the MXU passes of the f32-exact default
+    tmp = jnp.einsum("dh,hwc->dwc", tv, img, precision="high")  # [D, W, C]
+    val = jnp.einsum("dwc,dw->dc", tmp, tu, precision="high")  # [D, C]
     if squeeze:
         val = val[..., 0]
     return val, inb
