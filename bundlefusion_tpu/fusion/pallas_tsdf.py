@@ -78,103 +78,116 @@ def _kernel(
     u0 = u0_ref[i]
     v0 = v0_ref[i]
 
-    p = pose_ref  # [1, 128]
-    fx, fy, pcx, pcy = p[0, 12], p[0, 13], p[0, 14], p[0, 15]
-    sign = p[0, 16]
+    # masked grid rows (padding / overflow-dropped blocks) skip ALL compute —
+    # at small frame resolutions the live update set is well under the static
+    # blocks_per_frame_cap grid, and unmasked rows were paying full one-hot +
+    # sampling + update cost for nothing. The masked write-through keeps the
+    # sentinel scratch row's output defined.
+    @pl.when(jnp.logical_not(active))
+    def _passthrough():
+        sdf_out[0] = sdf_ref[0]
+        w_out[0] = w_ref[0]
+        col_out[0] = col_ref[0]
 
-    # voxel centers in world space; per-voxel columns [512, 1]
-    lin = jax.lax.broadcasted_iota(jnp.int32, (_NVOX, 1), 0)
-    lx = (lin % BLOCK).astype(jnp.float32)
-    ly = ((lin // BLOCK) % BLOCK).astype(jnp.float32)
-    lz = (lin // (BLOCK * BLOCK)).astype(jnp.float32)
-    wx = (bx * BLOCK + lx + 0.5) * voxel_size
-    wy = (by * BLOCK + ly + 0.5) * voxel_size
-    wz = (bz * BLOCK + lz + 0.5) * voxel_size
+    @pl.when(active)
+    def _body():
+        p = pose_ref  # [1, 128]
+        fx, fy, pcx, pcy = p[0, 12], p[0, 13], p[0, 14], p[0, 15]
+        sign = p[0, 16]
 
-    # camera coords: w2c rows in p[0, 0..11] (row-major 3x4)
-    px = p[0, 0] * wx + p[0, 1] * wy + p[0, 2] * wz + p[0, 3]
-    py = p[0, 4] * wx + p[0, 5] * wy + p[0, 6] * wz + p[0, 7]
-    pz = p[0, 8] * wx + p[0, 9] * wy + p[0, 10] * wz + p[0, 11]
-    zsafe = jnp.maximum(pz, 1e-6)
-    u = px / zsafe * fx + pcx
-    v = py / zsafe * fy + pcy
-    in_img = (pz > 1e-6) & (u >= 0) & (u <= width - 1) & (v >= 0) & (v <= height - 1)
+        # voxel centers in world space; per-voxel columns [512, 1]
+        lin = jax.lax.broadcasted_iota(jnp.int32, (_NVOX, 1), 0)
+        lx = (lin % BLOCK).astype(jnp.float32)
+        ly = ((lin // BLOCK) % BLOCK).astype(jnp.float32)
+        lz = (lin // (BLOCK * BLOCK)).astype(jnp.float32)
+        wx = (bx * BLOCK + lx + 0.5) * voxel_size
+        wy = (by * BLOCK + ly + 0.5) * voxel_size
+        wz = (bz * BLOCK + lz + 0.5) * voxel_size
 
-    ui = jnp.clip(u + 0.5, 0, width - 1).astype(jnp.int32)
-    vi = jnp.clip(v + 0.5, 0, height - 1).astype(jnp.int32)
-    lu = ui - u0
-    lv = vi - v0
-    in_win = (lu >= 0) & (lu < _PATCH_U) & (lv >= 0) & (lv < _PATCH_V)
-    luc = jnp.clip(lu, 0, _PATCH_U - 1)
-    lvc = jnp.clip(lv, 0, _PATCH_V - 1)
+        # camera coords: w2c rows in p[0, 0..11] (row-major 3x4)
+        px = p[0, 0] * wx + p[0, 1] * wy + p[0, 2] * wz + p[0, 3]
+        py = p[0, 4] * wx + p[0, 5] * wy + p[0, 6] * wz + p[0, 7]
+        pz = p[0, 8] * wx + p[0, 9] * wy + p[0, 10] * wz + p[0, 11]
+        zsafe = jnp.maximum(pz, 1e-6)
+        u = px / zsafe * fx + pcx
+        v = py / zsafe * fy + pcy
+        in_img = (pz > 1e-6) & (u >= 0) & (u <= width - 1) & (v >= 0) & (v <= height - 1)
 
-    grid_v = jax.lax.broadcasted_iota(jnp.int32, (_NVOX, _PATCH_V), 1)
-    grid_u = jax.lax.broadcasted_iota(jnp.int32, (_NVOX, _PATCH_U), 1)
-    oh_v = (lvc == grid_v).astype(jnp.float32)  # [512, Pv]
-    oh_u = (luc == grid_u).astype(jnp.float32)  # [512, Pu]
-    v0a = pl.multiple_of(v0, 8)
-    u0a = pl.multiple_of(u0, 128)
+        ui = jnp.clip(u + 0.5, 0, width - 1).astype(jnp.int32)
+        vi = jnp.clip(v + 0.5, 0, height - 1).astype(jnp.int32)
+        lu = ui - u0
+        lv = vi - v0
+        in_win = (lu >= 0) & (lu < _PATCH_U) & (lv >= 0) & (lv < _PATCH_V)
+        luc = jnp.clip(lu, 0, _PATCH_U - 1)
+        lvc = jnp.clip(lv, 0, _PATCH_V - 1)
 
-    def sample(img_ref):
-        patch = img_ref[pl.ds(v0a, _PATCH_V), pl.ds(u0a, _PATCH_U)]  # [Pv, Pu]
-        tmp = jnp.dot(oh_v, patch, preferred_element_type=jnp.float32)  # [512, Pu]
-        return jnp.sum(tmp * oh_u, axis=1, keepdims=True)  # [512, 1]
+        grid_v = jax.lax.broadcasted_iota(jnp.int32, (_NVOX, _PATCH_V), 1)
+        grid_u = jax.lax.broadcasted_iota(jnp.int32, (_NVOX, _PATCH_U), 1)
+        oh_v = (lvc == grid_v).astype(jnp.float32)  # [512, Pv]
+        oh_u = (luc == grid_u).astype(jnp.float32)  # [512, Pu]
+        v0a = pl.multiple_of(v0, 8)
+        u0a = pl.multiple_of(u0, 128)
 
-    d = sample(dimg_ref)
-    # ONE matmul-sample for all three color channels: the packed plane holds
-    # r*65536 + g*256 + b as exact f32 integers (< 2^24); unpacking is cheap
-    # VPU arithmetic — this halves the kernel's MXU work vs per-channel passes
-    pc = sample(pimg_ref)
-    cr = jnp.floor(pc * (1.0 / 65536.0))
-    rem = pc - cr * 65536.0
-    cg = jnp.floor(rem * (1.0 / 256.0))
-    cb = rem - cg * 256.0
-    cr = cr * (1.0 / 255.0)
-    cg = cg * (1.0 / 255.0)
-    cb = cb * (1.0 / 255.0)
+        def sample(img_ref):
+            patch = img_ref[pl.ds(v0a, _PATCH_V), pl.ds(u0a, _PATCH_U)]  # [Pv, Pu]
+            tmp = jnp.dot(oh_v, patch, preferred_element_type=jnp.float32)  # [512, Pu]
+            return jnp.sum(tmp * oh_u, axis=1, keepdims=True)  # [512, 1]
 
-    trunc = trunc_base + trunc_scale * d
-    sdf_val = d - pz
-    upd_ok = (
-        active
-        & in_img
-        & in_win
-        & (d > 0)
-        & (d < max_dist)
-        & (sdf_val > -trunc)
-    )
-    sdf_new = jnp.clip(sdf_val, -trunc, trunc)
-    dw = jnp.where(upd_ok, w_sample * sign, 0.0)  # [512, 1]
+        d = sample(dimg_ref)
+        # ONE matmul-sample for all three color channels: the packed plane holds
+        # r*65536 + g*256 + b as exact f32 integers (< 2^24); unpacking is cheap
+        # VPU arithmetic — this halves the kernel's MXU work vs per-channel passes
+        pc = sample(pimg_ref)
+        cr = jnp.floor(pc * (1.0 / 65536.0))
+        rem = pc - cr * 65536.0
+        cg = jnp.floor(rem * (1.0 / 256.0))
+        cb = rem - cg * 256.0
+        cr = cr * (1.0 / 255.0)
+        cg = cg * (1.0 / 255.0)
+        cb = cb * (1.0 / 255.0)
 
-    # move per-voxel columns into the block's native [4, 128] layout
-    # ([512, 1] -> [4, 128] is a supported relayout; the reverse is not, so
-    # the read-modify-write runs natively in [4, 128])
-    to_blk = lambda a: a.reshape(4, 128)
-    dw_b = to_blk(dw)
-    sdf_new_b = to_blk(sdf_new)
-    cr_b, cg_b, cb_b = to_blk(cr), to_blk(cg), to_blk(cb)
+        trunc = trunc_base + trunc_scale * d
+        sdf_val = d - pz
+        upd_ok = (
+            active
+            & in_img
+            & in_win
+            & (d > 0)
+            & (d < max_dist)
+            & (sdf_val > -trunc)
+        )
+        sdf_new = jnp.clip(sdf_val, -trunc, trunc)
+        dw = jnp.where(upd_ok, w_sample * sign, 0.0)  # [512, 1]
 
-    old_sdf = sdf_ref[0]  # [4, 128]
-    old_w = w_ref[0]
-    ocr = col_ref[0, 0:4, :]
-    ocg = col_ref[0, 4:8, :]
-    ocb = col_ref[0, 8:12, :]
-    new_w = old_w + dw_b
-    num = old_sdf * old_w + sdf_new_b * dw_b
-    upd_sdf = jnp.where(new_w > 1e-6, num / jnp.maximum(new_w, 1e-6), 0.0)
-    new_w = jnp.clip(new_w, 0.0, max_weight)
-    keep_w = jnp.where(new_w > 1e-6, new_w, 0.0)
-    upd_sdf = jnp.where(keep_w > 0, upd_sdf, 0.0)
-    live = keep_w > 0
-    ucr = jnp.where(live, ocr + cr_b * dw_b, 0.0)
-    ucg = jnp.where(live, ocg + cg_b * dw_b, 0.0)
-    ucb = jnp.where(live, ocb + cb_b * dw_b, 0.0)
+        # move per-voxel columns into the block's native [4, 128] layout
+        # ([512, 1] -> [4, 128] is a supported relayout; the reverse is not, so
+        # the read-modify-write runs natively in [4, 128])
+        to_blk = lambda a: a.reshape(4, 128)
+        dw_b = to_blk(dw)
+        sdf_new_b = to_blk(sdf_new)
+        cr_b, cg_b, cb_b = to_blk(cr), to_blk(cg), to_blk(cb)
 
-    sdf_out[0] = upd_sdf
-    w_out[0] = keep_w
-    col_out[0, 0:4, :] = ucr
-    col_out[0, 4:8, :] = ucg
-    col_out[0, 8:12, :] = ucb
+        old_sdf = sdf_ref[0]  # [4, 128]
+        old_w = w_ref[0]
+        ocr = col_ref[0, 0:4, :]
+        ocg = col_ref[0, 4:8, :]
+        ocb = col_ref[0, 8:12, :]
+        new_w = old_w + dw_b
+        num = old_sdf * old_w + sdf_new_b * dw_b
+        upd_sdf = jnp.where(new_w > 1e-6, num / jnp.maximum(new_w, 1e-6), 0.0)
+        new_w = jnp.clip(new_w, 0.0, max_weight)
+        keep_w = jnp.where(new_w > 1e-6, new_w, 0.0)
+        upd_sdf = jnp.where(keep_w > 0, upd_sdf, 0.0)
+        live = keep_w > 0
+        ucr = jnp.where(live, ocr + cr_b * dw_b, 0.0)
+        ucg = jnp.where(live, ocg + cg_b * dw_b, 0.0)
+        ucb = jnp.where(live, ocb + cb_b * dw_b, 0.0)
+
+        sdf_out[0] = upd_sdf
+        w_out[0] = keep_w
+        col_out[0, 0:4, :] = ucr
+        col_out[0, 4:8, :] = ucg
+        col_out[0, 8:12, :] = ucb
 
 
 def pool_to_planar(table: BlockTable):
