@@ -69,8 +69,8 @@ def make_ctrl() -> DeviceCtrl:
 RUNREC_FIELDS = (
     "chunk_valid", "kf_valid", "reloc", "tracking_lost", "num_keys",
     "filtered_matches", "pairs_valid", "corr_cursor", "alloc_overflow",
-    "patch_overflow", "reint_frames", "ring_miss", "gc_freed_total",
-    "blocks_touched", "active_blocks", "lost_chunks",
+    "upd_truncated", "patch_overflow", "reint_frames", "ring_miss",
+    "gc_freed_total", "blocks_touched", "active_blocks", "lost_chunks",
 )
 RUNREC_WIDTH = len(RUNREC_FIELDS)
 
@@ -281,6 +281,7 @@ def _plan_and_fuse(
             jnp.stack(
                 [
                     diag.overflow.astype(jnp.float32),
+                    diag.upd_truncated.astype(jnp.float32),
                     diag.patch_overflow.astype(jnp.float32),
                     n_reint,
                     ring_miss.astype(jnp.float32),
@@ -930,8 +931,9 @@ class BundleFusion:
             rec = {k: float(v) for k, v in zip(RUNREC_FIELDS, rows[c])}
             for k in (
                 "num_keys", "filtered_matches", "pairs_valid", "corr_cursor",
-                "alloc_overflow", "patch_overflow", "reint_frames", "ring_miss",
-                "blocks_touched", "active_blocks", "lost_chunks", "gc_freed_total",
+                "alloc_overflow", "upd_truncated", "patch_overflow",
+                "reint_frames", "ring_miss", "blocks_touched", "active_blocks",
+                "lost_chunks", "gc_freed_total",
             ):
                 rec[k] = int(rec[k])
             for k in ("chunk_valid", "kf_valid", "reloc", "tracking_lost"):

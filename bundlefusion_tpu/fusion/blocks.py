@@ -126,11 +126,24 @@ def dedup_keys(keys: jax.Array, out_capacity: int) -> jax.Array:
     dedup: [A] possibly-duplicated packed keys -> [out_capacity] unique sorted
     keys (padded with INVALID_KEY).
     """
+    return dedup_keys_counted(keys, out_capacity)[0]
+
+
+def dedup_keys_counted(
+    keys: jax.Array, out_capacity: int
+) -> tuple[jax.Array, jax.Array]:
+    """`dedup_keys` that also reports how many unique keys were DROPPED by the
+    capacity cut (int32) — silent truncation of a frame's update set would
+    otherwise read as a clean integrate (SURVEY.md §7 hard part 1 asks for
+    overflow counters on every capacity edge)."""
     s = jnp.sort(keys)
     first = jnp.concatenate([jnp.array([True]), s[1:] != s[:-1]])
-    uniq = jnp.where(first & (s != INVALID_KEY), s, INVALID_KEY)
+    valid_first = first & (s != INVALID_KEY)
+    uniq = jnp.where(valid_first, s, INVALID_KEY)
+    n_uniq = jnp.sum(valid_first).astype(jnp.int32)
+    truncated = jnp.maximum(n_uniq - out_capacity, 0)
     # compact: unique keys are already sorted; push INVALIDs to the end
-    return jnp.sort(uniq)[:out_capacity]
+    return jnp.sort(uniq)[:out_capacity], truncated
 
 
 def allocate(table: BlockTable, new_keys: jax.Array) -> tuple[BlockTable, jax.Array]:

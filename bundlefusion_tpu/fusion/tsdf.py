@@ -51,6 +51,9 @@ class FuseDiag(NamedTuple):
     """
 
     overflow: jax.Array  # int32 — block allocations dropped (pool full / union cap)
+    upd_truncated: jax.Array  # int32 — unique update blocks dropped by the
+    # per-frame blocks_per_frame_cap cut (those voxels never integrate; the
+    # recorded upd_mask keeps de-integration exact regardless)
     patch_overflow: jax.Array  # int32 — update blocks whose projected extent
     # exceeded the sampling patch window (their out-of-window voxels were
     # skipped; happens for blocks very close to the camera)
@@ -319,17 +322,19 @@ def integrate(
     cfg: AppConfig,
 ) -> tuple[BlockTable, FuseDiag]:
     """Allocate + integrate one frame. Returns (table, FuseDiag)."""
-    from .blocks import allocate, dedup_keys
+    from .blocks import allocate, dedup_keys_counted
 
     keys = frame_alloc_keys(depth, pose_c2w, cam, cfg)
     # dedup to the per-frame cap BEFORE the table merge: the merge argsort then
     # runs on [C + cap] instead of [C + H*W*samples]
-    upd_keys = dedup_keys(keys, cfg.blocks_per_frame_cap)
+    upd_keys, f_trunc = dedup_keys_counted(keys, cfg.blocks_per_frame_cap)
     table, overflow = allocate(table, upd_keys)
     slots, mask = _frame_update_set(table, depth, pose_c2w, cam, cfg, upd_keys)
     p_ovf = patch_overflow_count(slots, mask, table, pose_c2w, cam, cfg)
     table = _integrate_blocks_dispatch(slots, mask, table, depth, color, pose_c2w, cam, cfg, +1.0)
-    return table, FuseDiag(overflow=overflow, patch_overflow=p_ovf, upd_mask=mask)
+    return table, FuseDiag(
+        overflow=overflow, upd_truncated=f_trunc, patch_overflow=p_ovf, upd_mask=mask
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("cam", "cfg"))
@@ -354,7 +359,7 @@ def integrate_batch(
     Keys dropped by the union cap are counted in ``overflow`` (they would
     otherwise vanish silently and the affected frames would under-integrate).
     """
-    from .blocks import allocate, dedup_keys
+    from .blocks import allocate, dedup_keys, dedup_keys_counted
 
     b = depths.shape[0]
     union_cap = cfg.blocks_per_frame_cap * 4
@@ -385,7 +390,7 @@ def integrate_batch(
             depth, color, pose, ok = inp
 
             def do(pools):
-                upd_keys = dedup_keys(
+                upd_keys, f_trunc = dedup_keys_counted(
                     frame_alloc_keys(depth, pose, cam, cfg), cfg.blocks_per_frame_cap
                 )
                 slots, mask = _frame_update_set(table, depth, pose, cam, cfg, upd_keys)
@@ -396,19 +401,24 @@ def integrate_batch(
                     pools, table.key_of_slot, slots, mask, depth, color, pose,
                     cam, cfg, +1.0,
                 )
-                return new_pools, (mask, p_ovf)
+                return new_pools, (mask, p_ovf, f_trunc)
 
             def skip(pools):
-                return pools, (jnp.zeros(cfg.blocks_per_frame_cap, bool), jnp.int32(0))
+                return pools, (
+                    jnp.zeros(cfg.blocks_per_frame_cap, bool),
+                    jnp.int32(0),
+                    jnp.int32(0),
+                )
 
             return jax.lax.cond(ok, do, skip, pools)
 
-        pools, (upd_masks, p_ovfs) = jax.lax.scan(
+        pools, (upd_masks, p_ovfs, f_truncs) = jax.lax.scan(
             step_p, pool_to_planar(table), (depths, colors, poses, valid)
         )
         table = pool_from_planar(table, *pools)
         return table, FuseDiag(
             overflow=overflow + union_overflow,
+            upd_truncated=jnp.sum(f_truncs).astype(jnp.int32),
             patch_overflow=jnp.sum(p_ovfs).astype(jnp.int32),
             upd_mask=upd_masks,
         )
@@ -417,7 +427,7 @@ def integrate_batch(
         depth, color, pose, ok = inp
 
         def do(table):
-            upd_keys = dedup_keys(
+            upd_keys, f_trunc = dedup_keys_counted(
                 frame_alloc_keys(depth, pose, cam, cfg), cfg.blocks_per_frame_cap
             )
             slots, mask = _frame_update_set(table, depth, pose, cam, cfg, upd_keys)
@@ -426,19 +436,24 @@ def integrate_batch(
                 _integrate_blocks_dispatch(
                     slots, mask, table, depth, color, pose, cam, cfg, +1.0
                 ),
-                (mask, p_ovf),
+                (mask, p_ovf, f_trunc),
             )
 
         def skip(table):
-            return table, (jnp.zeros(cfg.blocks_per_frame_cap, bool), jnp.int32(0))
+            return table, (
+                jnp.zeros(cfg.blocks_per_frame_cap, bool),
+                jnp.int32(0),
+                jnp.int32(0),
+            )
 
         return jax.lax.cond(ok, do, skip, table)
 
-    table, (upd_masks, p_ovfs) = jax.lax.scan(
+    table, (upd_masks, p_ovfs, f_truncs) = jax.lax.scan(
         step, table, (depths, colors, poses, valid)
     )
     return table, FuseDiag(
         overflow=overflow + union_overflow,
+        upd_truncated=jnp.sum(f_truncs).astype(jnp.int32),
         patch_overflow=jnp.sum(p_ovfs).astype(jnp.int32),
         upd_mask=upd_masks,
     )
