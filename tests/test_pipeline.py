@@ -84,6 +84,47 @@ def test_reintegration_restores_invalidated_then_revalidated():
     assert bool(bf.traj.integrated[2])
 
 
+def test_steady_state_is_readback_free(monkeypatch):
+    """The pipeline's per-chunk loop must never read device data back to the
+    host (bundle/pipeline.py's design rule: async dispatch stays saturated,
+    and on tunneled TPUs the first readback permanently degrades uploads).
+    Canary: count every host materialization of a device array while frames
+    stream; finalize()/outputs() may read freely afterwards."""
+    import jax._src.array as _ja
+
+    seq = cached_sequence(21, width=128, height=96)
+    cfg = tiny_test_config()
+    bf = BundleFusion(seq.camera, cfg, anchor_pose=seq.poses[0])
+
+    readbacks: list[str] = []
+    orig_array = _ja.ArrayImpl.__array__
+    orig_item = _ja.ArrayImpl.item
+    orig_get = jax.device_get
+
+    def counted_array(self, *a, **k):
+        readbacks.append("__array__")
+        return orig_array(self, *a, **k)
+
+    def counted_item(self, *a, **k):
+        readbacks.append("item")
+        return orig_item(self, *a, **k)
+
+    def counted_get(x):
+        readbacks.append("device_get")
+        return orig_get(x)
+
+    monkeypatch.setattr(_ja.ArrayImpl, "__array__", counted_array)
+    monkeypatch.setattr(_ja.ArrayImpl, "item", counted_item)
+    monkeypatch.setattr(jax, "device_get", counted_get)
+    for i in range(21):
+        bf.push_frame(seq.depth[i], seq.color[i])
+    bf.flush()
+    assert not readbacks, f"steady state performed host readbacks: {readbacks[:5]}"
+    monkeypatch.undo()
+    out = bf.outputs()  # finalize: readbacks now expected and fine
+    assert out.num_keyframes == 5
+
+
 @pytest.fixture(scope="module")
 def pipeline_run():
     seq = cached_sequence(21, width=128, height=96)
