@@ -36,6 +36,7 @@ import numpy as np
 
 from ..config import Config
 from ..fusion import blocks, marching_cubes, raycast, tsdf
+from ..io import framewire
 from ..geometry import se3
 from ..geometry.camera import CameraModel
 from ..utils.logging import RunLog
@@ -351,32 +352,6 @@ def _fuse_frames(
     return table, traj, upd_masks, diag, blocks_touched
 
 
-def _bilateral_wire_np(d16: np.ndarray, sigma_d: float, sigma_r: float) -> np.ndarray:
-    """Host-side bilateral filter on wire-format depth (uint16 mm), used when
-    ``integrate_filtered_depth`` is on. Filtering happens BEFORE the wire so
-    ring, FrameStore and every device program share identical bytes — the
-    de-integration exactness invariant needs no cross-program float identity.
-    Mirrors ``ops.preprocess.bilateral_filter_depth`` (5x5, gaussian space
-    weight, gaussian range weight, zero-depth-aware)."""
-    d = d16.astype(np.float32) * 1e-3
-    radius = 2
-    ys, xs = np.mgrid[-radius : radius + 1, -radius : radius + 1]
-    acc = np.zeros_like(d)
-    wacc = np.zeros_like(d)
-    valid = d > 0
-    for dy, dx, ws in zip(
-        ys.ravel(), xs.ravel(),
-        np.exp(-(ys.ravel() ** 2 + xs.ravel() ** 2) / (2 * sigma_d**2)),
-    ):
-        n = np.roll(np.roll(d, dy, axis=0), dx, axis=1)
-        nv = np.roll(np.roll(valid, dy, axis=0), dx, axis=1)
-        w = ws * np.exp(-((n - d) ** 2) / (2 * sigma_r**2)) * nv
-        acc += w * n
-        wacc += w
-    out = np.where(valid & (wacc > 0), acc / np.maximum(wacc, 1e-12), 0.0)
-    return np.clip(np.round(out * 1000.0), 0, 65535).astype(np.uint16)
-
-
 class PipelineOutputs(NamedTuple):
     poses: np.ndarray  # [F, 4, 4] final optimized world poses
     valid: np.ndarray  # [F] bool
@@ -502,15 +477,16 @@ class BundleFusion:
 
         Frames convert to the sensor wire format on the host — uint16 depth in
         mm, uint8 color, quartering host->device traffic — then upload
-        asynchronously; the device programs do all dequantization.
+        asynchronously; the device programs do all dequantization. Conversion
+        (and the optional wire-level bilateral) runs in native C++ when the
+        toolchain built ``native/framewire.cpp`` (numpy fallback otherwise).
         """
-        d16 = (np.clip(depth, 0.0, 65.0) * 1000.0).astype(np.uint16)
-        c8 = (np.clip(color, 0.0, 1.0) * 255.0).astype(np.uint8)
+        d16, c8 = framewire.frame_to_wire(depth, color)
         if self.config.app.integrate_filtered_depth:
             # filter at the wire level so ring, FrameStore and every device
             # program share identical bytes (exact de-integration for free);
             # the chunk program then skips its own depth filter
-            d16 = _bilateral_wire_np(
+            d16 = framewire.bilateral_wire(
                 d16, self.config.app.depth_sigma_d, self.config.app.depth_sigma_r
             )
         fid = self._next_fid

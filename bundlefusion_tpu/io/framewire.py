@@ -1,0 +1,124 @@
+"""ctypes bindings for the native frame wire converter (``native/framewire.cpp``).
+
+The ingest hot path (float frame -> uint16 mm depth + uint8 color, plus the
+optional wire-level bilateral when ``integrate_filtered_depth`` is on) is the
+only per-frame host compute the pipeline performs; this runs it in OpenMP C++
+(numpy fallback kept, as with the .sens codec).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
+_SRC = os.path.abspath(os.path.join(_NATIVE_DIR, "framewire.cpp"))
+_SO = os.path.abspath(os.path.join(_NATIVE_DIR, "libframewire.so"))
+_lock = threading.Lock()
+_lib = None
+_build_failed = False
+
+
+def _load() -> ctypes.CDLL | None:
+    global _lib, _build_failed
+    with _lock:
+        if _lib is not None or _build_failed:
+            return _lib
+        try:
+            if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+                subprocess.run(
+                    ["g++", "-O3", "-fopenmp", "-shared", "-fPIC", "-o", _SO, _SRC],
+                    check=True,
+                    capture_output=True,
+                )
+            lib = ctypes.CDLL(_SO)
+            lib.frame_to_wire.restype = None
+            lib.frame_to_wire.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long, ctypes.c_long,
+                ctypes.c_void_p, ctypes.c_void_p,
+            ]
+            lib.bilateral_wire_u16.restype = None
+            lib.bilateral_wire_u16.argtypes = [
+                ctypes.c_void_p, ctypes.c_long, ctypes.c_long,
+                ctypes.c_float, ctypes.c_float, ctypes.c_void_p,
+            ]
+            _lib = lib
+        except Exception:
+            _build_failed = True
+            _lib = None
+        return _lib
+
+
+def have_native() -> bool:
+    return _load() is not None
+
+
+def frame_to_wire(depth: np.ndarray, color: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """float depth (meters) [H, W] + float color [H, W, 3] -> (uint16 mm,
+    uint8) wire arrays."""
+    lib = _load()
+    h, w = depth.shape
+    if lib is not None and color.shape == (h, w, 3):
+        d = np.ascontiguousarray(depth, dtype=np.float32)
+        c = np.ascontiguousarray(color, dtype=np.float32)
+        d16 = np.empty((h, w), np.uint16)
+        c8 = np.empty((h, w, 3), np.uint8)
+        lib.frame_to_wire(
+            d.ctypes.data, c.ctypes.data, h, w, d16.ctypes.data, c8.ctypes.data
+        )
+        return d16, c8
+    d16 = (np.clip(depth, 0.0, 65.0) * 1000.0 + 0.5).astype(np.uint16)
+    c8 = (np.clip(color, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+    return d16, c8
+
+
+def bilateral_wire(d16: np.ndarray, sigma_d: float, sigma_r: float) -> np.ndarray:
+    """5x5 zero-aware bilateral on wire-format depth (uint16 mm)."""
+    lib = _load()
+    h, w = d16.shape
+    if lib is not None:
+        src = np.ascontiguousarray(d16, dtype=np.uint16)
+        out = np.empty((h, w), np.uint16)
+        lib.bilateral_wire_u16(
+            src.ctypes.data, h, w,
+            ctypes.c_float(sigma_d), ctypes.c_float(sigma_r), out.ctypes.data,
+        )
+        return out
+    return _bilateral_wire_np(d16, sigma_d, sigma_r)
+
+
+def _bilateral_wire_np(d16: np.ndarray, sigma_d: float, sigma_r: float) -> np.ndarray:
+    """numpy fallback; zero-fill shifts (out-of-bounds neighbors contribute
+    nothing, matching the C++ border handling)."""
+    d = d16.astype(np.float32) * 1e-3
+    radius = 2
+    acc = np.zeros_like(d)
+    wacc = np.zeros_like(d)
+    valid = d > 0
+
+    def shifted(a, dy, dx, fill=0.0):
+        out = np.full_like(a, fill)
+        ys0, ys1 = max(dy, 0), a.shape[0] + min(dy, 0)
+        xs0, xs1 = max(dx, 0), a.shape[1] + min(dx, 0)
+        out[ys0:ys1, xs0:xs1] = a[ys0 - dy : ys1 - dy, xs0 - dx : xs1 - dx]
+        return out
+
+    inv_2sd2 = 1.0 / (2.0 * sigma_d * sigma_d)
+    inv_2sr2 = 1.0 / (2.0 * sigma_r * sigma_r)
+    for dy in range(-radius, radius + 1):
+        for dx in range(-radius, radius + 1):
+            n = shifted(d, dy, dx)
+            nv = n > 0
+            w = (
+                np.exp(-(dy * dy + dx * dx) * inv_2sd2)
+                * np.exp(-((n - d) ** 2) * inv_2sr2)
+                * nv
+            )
+            acc += w * n
+            wacc += w
+    out = np.where(valid & (wacc > 0), acc / np.maximum(wacc, 1e-12), 0.0)
+    return np.clip(out * 1000.0 + 0.5, 0, 65535).astype(np.uint16)

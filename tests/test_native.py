@@ -97,3 +97,31 @@ def test_sens_rvl_depth_path(tmp_path, rng):
     hdr_frames = list(sens.iter_frames(path))
     d = sens.decode_depth(hdr_frames[0][0], hdr_frames[0][1])
     np.testing.assert_allclose(d, depth_m[0], atol=1e-3)
+
+
+def test_framewire_native_matches_numpy():
+    """native/framewire.cpp (wire conversion + wire-level bilateral) must
+    agree with the numpy fallback: conversion exactly, the bilateral within
+    the 1 mm wire quantum (the C++ tabulates range weights on integer mm)."""
+    import numpy as np
+
+    from bundlefusion_tpu.io import framewire
+
+    rng = np.random.default_rng(3)
+    depth = (
+        rng.uniform(0.3, 4.0, (48, 64)) * (rng.random((48, 64)) > 0.07)
+    ).astype(np.float32)
+    color = rng.random((48, 64, 3)).astype(np.float32)
+
+    d16, c8 = framewire.frame_to_wire(depth, color)
+    d16_ref = (np.clip(depth, 0.0, 65.0) * 1000.0 + 0.5).astype(np.uint16)
+    c8_ref = (np.clip(color, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+    np.testing.assert_array_equal(d16, d16_ref)
+    np.testing.assert_array_equal(c8, c8_ref)
+
+    f_np = framewire._bilateral_wire_np(d16, 2.0, 0.1)
+    f = framewire.bilateral_wire(d16, 2.0, 0.1)
+    diff = np.abs(f.astype(np.int32) - f_np.astype(np.int32))
+    assert diff.max() <= 1, f"bilateral diverges beyond the wire quantum: {diff.max()}"
+    # invalid pixels must stay invalid in both
+    np.testing.assert_array_equal(f == 0, f_np == 0)
