@@ -76,7 +76,11 @@ RUNREC_FIELDS = (
 RUNREC_WIDTH = len(RUNREC_FIELDS)
 
 
-@functools.partial(jax.jit, static_argnames=("cache_cam", "cfg", "is_first"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("cache_cam", "cfg", "is_first"),
+    donate_argnums=(0, 1, 10, 11),
+)
 def _graph_step(
     graph: global_graph.GlobalGraph,
     ctrl: DeviceCtrl,
@@ -85,6 +89,11 @@ def _graph_step(
     kf_cache,
     local_traj: jax.Array,  # [S+1, 4, 4]
     chunk_valid: jax.Array,  # bool
+    num_keys: jax.Array,  # [S+1] per-frame key counts (diagnostics)
+    num_matches: jax.Array,  # [P] filtered match counts (diagnostics)
+    pair_valid_local: jax.Array,  # [P] local pair validity (diagnostics)
+    local_traj_dev: jax.Array,  # [Cmax, S+1, 4, 4] — updated at k_idx
+    chunk_valid_dev: jax.Array,  # [Cmax]
     anchor: jax.Array,  # [4, 4]
     cache_cam: CameraModel,
     cfg,
@@ -147,11 +156,32 @@ def _graph_step(
         reloc_events=ctrl.reloc_events + reloc.astype(jnp.int32),
         last_rel=local_traj[-1],
     )
-    stats = (reloc, pair_count, lost, lost_chunks)
-    return graph, ctrl, ok, kf_valid, stats
+    local_traj_dev = local_traj_dev.at[k_idx].set(local_traj)
+    chunk_valid_dev = chunk_valid_dev.at[k_idx].set(chunk_valid)
+    # diagnostics row prefix, consumed verbatim by _plan_and_fuse — assembled
+    # here so the host never dispatches a pile of tiny reduction ops
+    del pair_count  # the global pair count is visible via corr_cursor
+    stats_in = jnp.stack(
+        [
+            chunk_valid.astype(jnp.float32),
+            kf_valid.astype(jnp.float32),
+            reloc.astype(jnp.float32),
+            lost.astype(jnp.float32),
+            jnp.sum(num_keys).astype(jnp.float32),
+            jnp.sum(num_matches).astype(jnp.float32),
+            jnp.sum(pair_valid_local).astype(jnp.float32),
+            graph.corr_cursor.astype(jnp.float32),
+            lost_chunks.astype(jnp.float32),
+        ]
+    )
+    return graph, ctrl, ok, local_traj_dev, chunk_valid_dev, stats_in
 
 
-@functools.partial(jax.jit, static_argnames=("submap_size", "chunk_frames"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("submap_size", "chunk_frames"),
+    donate_argnums=(0,),
+)
 def _publish_all(
     traj: trajectory.TrajectoryState,
     local_trajs: jax.Array,  # [Cmax, S+1, 4, 4]
@@ -183,7 +213,11 @@ def _publish_all(
     return traj
 
 
-@functools.partial(jax.jit, static_argnames=("cam", "cfg", "budget"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("cam", "cfg", "budget"),
+    donate_argnums=(0, 1, 2, 3, 4, 5, 6),
+)
 def _plan_and_fuse(
     table,
     traj: trajectory.TrajectoryState,
@@ -551,14 +585,19 @@ class BundleFusion:
             )
 
         self.gn_iters_executed += bc.local_gn_iters * 2  # 2 solve+prune rounds
-        self._local_traj_dev = self._local_traj_dev.at[c].set(res.local_traj)
-        self._chunk_valid_dev = self._chunk_valid_dev.at[c].set(res.chunk_valid)
 
         # --- keyframe graph: add + match + relocalize + state machine ---
         with self.timing.stage(
             "graph_step", block=(lambda: self.graph.poses) if self.profile else None
         ):
-            self.graph, self.ctrl, integrate_mask, kf_valid, gstats = _graph_step(
+            (
+                self.graph,
+                self.ctrl,
+                integrate_mask,
+                self._local_traj_dev,
+                self._chunk_valid_dev,
+                stats_in,
+            ) = _graph_step(
                 self.graph,
                 self.ctrl,
                 jnp.int32(k_idx),
@@ -566,6 +605,11 @@ class BundleFusion:
                 res.keyframe_cache,
                 res.local_traj,
                 res.chunk_valid,
+                res.num_keys,
+                res.num_matches,
+                res.pair_valid,
+                self._local_traj_dev,
+                self._chunk_valid_dev,
                 self._anchor_dev,
                 self.cache_cam,
                 bc,
@@ -599,20 +643,6 @@ class BundleFusion:
         lo = 0 if c == 0 else 1
         new_ids_host = list(range(first_frame + lo, first_frame + self.chunk_frames))
         self.num_frames = max(self.num_frames, new_ids_host[-1] + 1)
-        reloc, pair_count, lost, lost_chunks = gstats
-        stats_in = jnp.stack(
-            [
-                res.chunk_valid.astype(jnp.float32),
-                kf_valid.astype(jnp.float32),
-                reloc.astype(jnp.float32),
-                lost.astype(jnp.float32),
-                jnp.sum(res.num_keys).astype(jnp.float32),
-                jnp.sum(res.num_matches).astype(jnp.float32),
-                jnp.sum(res.pair_valid).astype(jnp.float32),
-                self.graph.corr_cursor.astype(jnp.float32),
-                lost_chunks.astype(jnp.float32),
-            ]
-        )
         budget = ac.max_reintegrations_per_frame * self.S
         with self.timing.stage(
             "plan_fuse", block=(lambda: self.table.weight) if self.profile else None
@@ -680,7 +710,10 @@ class BundleFusion:
                 if n:
                     self._post_revalidate_solve()
 
-        self._bp_tokens.append(self._runlog_dev)
+        # token: the measured-work scalar — produced at the very end of the
+        # fused step and never donated (the runlog buffer is, so waiting on it
+        # would touch a deleted array)
+        self._bp_tokens.append(self.blocks_updated)
         self.timing.record(
             "whole_chunk_step", __import__("time").perf_counter() - _t_chunk_start
         )

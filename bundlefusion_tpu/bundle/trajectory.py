@@ -31,11 +31,14 @@ class TrajectoryState(NamedTuple):
 
 
 def make_trajectory(max_frames: int) -> TrajectoryState:
+    # integrated_pose and opt_pose must be DISTINCT buffers: the pipeline's
+    # fused programs donate the whole state, and donating one buffer through
+    # two leaves is an XLA error ("donate the same buffer twice")
     eye = jnp.broadcast_to(jnp.eye(4), (max_frames, 4, 4))
     return TrajectoryState(
-        integrated_pose=eye,
+        integrated_pose=eye + 0.0,
         integrated=jnp.zeros(max_frames, bool),
-        opt_pose=eye,
+        opt_pose=eye + 0.0,
         opt_valid=jnp.zeros(max_frames, bool),
     )
 
