@@ -29,8 +29,25 @@ _jax.config.update("jax_default_matmul_precision", "float32")
 # runs, restarted sessions) orders of magnitude cheaper.
 import os as _os
 
+
+def _cpu_platform_forced() -> bool:
+    """True when this process runs JAX on the host CPU platform (tests'
+    conftest and the multi-chip dryrun force it before importing us). The
+    persistent cache must stay OFF there: XLA:CPU AOT entries are pinned with
+    compile-machine pseudo-features (+prefer-no-scatter/+prefer-no-gather)
+    that never appear in any host's feature list, so every load fails with
+    cpu_aot_loader 'machine feature mismatch' spam and a full recompile —
+    the cache is pure overhead on CPU, including on the machine that wrote it."""
+    if _os.environ.get("JAX_PLATFORMS", "").split(",")[0].strip() == "cpu":
+        return True
+    try:
+        return (_jax.config.jax_platforms or "").split(",")[0].strip() == "cpu"
+    except Exception:
+        return False
+
+
 _cache_dir = _os.environ.get("BF_TPU_COMPILE_CACHE", _os.path.join(_os.path.dirname(__file__), "..", ".jax_cache"))
-if _cache_dir and _cache_dir != "0":
+if _cache_dir and _cache_dir != "0" and not _cpu_platform_forced():
     _jax.config.update("jax_compilation_cache_dir", _os.path.abspath(_cache_dir))
     _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
