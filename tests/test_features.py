@@ -138,3 +138,52 @@ def test_full_filter_pipeline(seq, frames_and_keys):
         ang, dist = se3.pose_distance(jnp.asarray(T_gt), res.transform[k])
         assert float(ang) < np.deg2rad(3.0)
         assert float(dist) < 0.05
+
+
+def test_sift_fidelity_vs_independent_oracle(frames_and_keys):
+    """SURVEY.md §7 hard part 4 / VERDICT r2 item 7: keys, orientations and
+    descriptors must agree with an INDEPENDENT reference SIFT (tests/ref_sift
+    .py — a slow numpy transcription of Lowe 2004 sharing no code with the
+    production implementation), so the reference's matching thresholds
+    transfer. Thresholds set ~25% below first measurement (repeatability
+    0.81 / precision 0.84, desc cosine median 0.96, orientation 7 deg)."""
+    from ref_sift import detect_and_describe_ref
+
+    frames, _, _, keys = frames_and_keys
+    img = np.asarray(frames.intensity[0], np.float64)
+    ref = detect_and_describe_ref(
+        img,
+        sigma0=CFG.sift_sigma,
+        num_scales=CFG.sift_scales_per_octave,
+        num_octaves=CFG.sift_octaves,
+        contrast_thresh=CFG.sift_contrast_thresh,
+        edge_thresh=CFG.sift_edge_thresh,
+        max_keys=CFG.max_keys_per_image,
+    )
+    v = np.asarray(keys.valid[0])
+    xy = np.asarray(keys.xy[0])[v]
+    sg = np.asarray(keys.sigma[0])[v]
+    th = np.asarray(keys.orientation[0])[v]
+    dsc = np.asarray(keys.desc[0])[v]
+    assert len(ref["sigma"]) >= 20 and v.sum() >= 20
+
+    def corresp(a_xy, a_sg, b_xy, b_sg):
+        d2 = np.linalg.norm(a_xy[:, None] - b_xy[None, :], axis=-1)
+        near = np.argmin(d2, axis=1)
+        dist = d2[np.arange(len(near)), near]
+        sr = a_sg / np.maximum(b_sg[near], 1e-9)
+        return near, (dist < 2.0) & (sr > 1 / 1.6) & (sr < 1.6)
+
+    near, ok = corresp(ref["xy"], ref["sigma"], xy, sg)
+    recall = ok.mean()  # oracle keys recovered by the production detector
+    _, ok_p = corresp(xy, sg, ref["xy"], ref["sigma"])
+    precision = ok_p.mean()  # production keys confirmed by the oracle
+    assert recall > 0.6, f"key recall vs oracle: {recall:.3f}"
+    assert precision > 0.6, f"key precision vs oracle: {precision:.3f}"
+
+    cos = np.sum(ref["desc"][ok] * dsc[near[ok]], axis=-1)
+    assert np.median(cos) > 0.8, f"descriptor cosine median {np.median(cos):.3f}"
+    assert (cos > 0.7).mean() > 0.8, f"descriptor cosine>0.7 frac {(cos > 0.7).mean():.3f}"
+
+    dth = np.abs(((ref["orientation"][ok] - th[near[ok]]) + np.pi) % (2 * np.pi) - np.pi)
+    assert np.degrees(np.median(dth)) < 15.0, f"orientation err {np.degrees(np.median(dth)):.1f} deg"
