@@ -141,11 +141,15 @@ def write_sens(
     camera: CameraModel,
     depth_shift: float = 1000.0,
     sensor_name: str = "bundlefusion_tpu_synth",
+    color_compression: str = "raw",  # "raw" | "jpeg" — jpeg matches what real
+    # ScanNet/BundleFusion captures ship (sensorData.h TYPE_JPEG)
+    jpeg_quality: int = 90,
 ) -> None:
-    """Write an uncompressed-color / zlib-depth .sens (for round-trip tests and
-    to exercise the same replay path real ScanNet data would take)."""
+    """Write a .sens (zlib depth; raw or JPEG color) — for round-trip tests
+    and to exercise the same replay path real ScanNet data would take."""
     n, h, w = depth.shape
     ch, cw = color.shape[1], color.shape[2]
+    cc_code = {"raw": 0, "jpeg": 2}[color_compression]
     intr = np.eye(4, dtype="<f4")
     intr[0, 0], intr[1, 1] = float(camera.fx), float(camera.fy)
     intr[0, 2], intr[1, 2] = float(camera.cx), float(camera.cy)
@@ -157,16 +161,29 @@ def write_sens(
         for _ in range(2):  # color intrinsic/extrinsic
             f.write(intr.tobytes())
             f.write(np.eye(4, dtype="<f4").tobytes())
-        f.write(struct.pack("<II", 0, 1))  # raw color, zlib depth
+        f.write(struct.pack("<II", cc_code, 1))  # color codec, zlib depth
         f.write(struct.pack("<IIII", cw, ch, w, h))
         f.write(struct.pack("<f", depth_shift))
         f.write(struct.pack("<Q", n))
         for i in range(n):
             f.write(np.asarray(poses[i], dtype="<f4").tobytes())
             f.write(struct.pack("<QQ", i, i))
-            cbytes = (np.clip(color[i], 0, 1) * 255).astype(np.uint8).tobytes()
+            c8 = (np.clip(color[i], 0, 1) * 255).astype(np.uint8)
+            if color_compression == "jpeg":
+                from PIL import Image
+
+                buf = io.BytesIO()
+                # subsampling=0 (4:4:4): chroma subsampling wrecks small /
+                # high-frequency test images; real captures tolerate it only
+                # because they are 640x480+ natural images
+                Image.fromarray(c8).save(
+                    buf, format="JPEG", quality=jpeg_quality, subsampling=0
+                )
+                cbytes = buf.getvalue()
+            else:
+                cbytes = c8.tobytes()
             dbytes = zlib.compress(
-                (depth[i] * depth_shift).astype("<u2").tobytes(), level=1
+                np.round(depth[i] * depth_shift).astype("<u2").tobytes(), level=1
             )
             f.write(struct.pack("<QQ", len(cbytes), len(dbytes)))
             f.write(cbytes)

@@ -79,22 +79,27 @@ def _quat_to_mat(qx, qy, qz, qw, tx, ty, tz) -> np.ndarray:
 def _associate(
     a: list[float], b: list[float], max_dt: float = 0.02
 ) -> list[tuple[int, int]]:
-    """Greedy nearest-timestamp association (TUM associate.py semantics)."""
+    """Greedy nearest-timestamp association (TUM associate.py semantics).
+    ``b`` is scanned in sorted order (capture glitches can leave stray
+    out-of-order entries; the early-out below requires monotone times) and
+    matches map back to original indices."""
+    order = sorted(range(len(b)), key=lambda j: b[j])
+    bs = [b[j] for j in order]
     pairs = []
     bi = 0
     used = set()
     for ai, ta in enumerate(a):
         best, best_dt = -1, max_dt
-        while bi > 0 and b[bi] > ta:
+        while bi > 0 and bs[bi] > ta:
             bi -= 1
-        for j in range(bi, len(b)):
-            dt = abs(b[j] - ta)
+        for j in range(bi, len(bs)):
+            dt = abs(bs[j] - ta)
             if dt <= best_dt and j not in used:
                 best, best_dt = j, dt
-            if b[j] - ta > max_dt:
+            if bs[j] - ta > max_dt:
                 break
         if best >= 0:
-            pairs.append((ai, best))
+            pairs.append((ai, order[best]))
             used.add(best)
             bi = best
     return pairs
@@ -125,9 +130,34 @@ def load_tum_sequence(root: str) -> TumSequence:
         )
         gt_poses = gt.astype(np.float32)
 
-    key = next((k for k in TUM_INTRINSICS if k in root), "fr1")
-    fx, fy, cx, cy = TUM_INTRINSICS[key]
-    cam = CameraModel.create(fx, fy, cx, cy, 640, 480)
+    # published intrinsics are for 640x480; read the actual frame size from
+    # disk and scale (real sequences ARE 640x480 — this keeps downsampled
+    # copies, and small fabricated test sequences, consistent)
+    w, h = 640, 480
+    if depth_paths:
+        from PIL import Image
+
+        with Image.open(depth_paths[0]) as im:
+            w, h = im.size
+    # an optional `intrinsics.txt` ("fx fy cx cy", at the on-disk frame size)
+    # overrides the freiburg defaults — the analog of the reference feeding
+    # calibrated intrinsics through its parameter file instead of SDK defaults
+    intr_path = os.path.join(root, "intrinsics.txt")
+    if os.path.exists(intr_path):
+        with open(intr_path) as f:
+            vals = [
+                float(x)
+                for line in f
+                if line.strip() and not line.startswith("#")
+                for x in line.split()
+            ]
+        fx, fy, cx, cy = vals[:4]
+        cam = CameraModel.create(fx, fy, cx, cy, w, h)
+    else:
+        key = next((k for k in TUM_INTRINSICS if k in root), "fr1")
+        fx, fy, cx, cy = TUM_INTRINSICS[key]
+        sx, sy = w / 640.0, h / 480.0
+        cam = CameraModel.create(fx * sx, fy * sy, cx * sx, cy * sy, w, h)
     return TumSequence(rgb_paths, depth_paths, timestamps, gt_poses, cam)
 
 
