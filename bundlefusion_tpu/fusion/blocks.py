@@ -11,8 +11,14 @@ a fixed-capacity block pool with a *sorted key index* indirected from the data:
     (`searchsorted` + gather), O(log C) with static shapes.
   * ``slot_of`` [C] int32 — the data slot behind each sorted index entry (a
     permutation of [0, C)); ``key_of_slot`` [C] is the reverse map.
-  * ``sdf/weight/color`` [C, 8, 8, 8(,3)] — plain dense arrays addressed by
-    data slot. **Block data never moves**: allocation/GC re-sort only the tiny
+  * ``sdf/weight`` [C, 512] and ``color`` [C, 3, 512] — plain dense arrays
+    addressed by data slot, stored in the Pallas kernels' PLANAR layout
+    (flat voxel index v = z*64 + y*8 + x; color channel-major). Keeping the
+    canonical layout planar makes the kernel views pure bitcast reshapes —
+    the earlier [C,8,8,8,3] canonical form forced a whole-pool transpose per
+    fuse call whose XLA copy materialized with a 16x-padded tiled layout
+    (25.8 GB at 512^3-equivalent capacity: an OOM, not just waste).
+    **Block data never moves**: allocation/GC re-sort only the tiny
     [C] index pair, assigning data slots from the free tail — the voxel pool
     (hundreds of MB) is untouched, unlike a sort-the-pool design that would
     shuffle it every frame.
@@ -32,6 +38,7 @@ import jax
 import jax.numpy as jnp
 
 BLOCK = 8  # voxels per block axis (kernels are specialized to 8^3)
+NVOX = BLOCK**3  # voxels per block, flat order v = z*64 + y*8 + x
 _OFF = 512  # coordinate offset for packing
 INVALID_KEY = jnp.int32(1 << 30)  # sorts after every valid key
 
@@ -50,9 +57,9 @@ class BlockTable(NamedTuple):
     keys: jax.Array  # [C] int32 sorted packed coords; INVALID_KEY = empty entry
     slot_of: jax.Array  # [C] int32 data slot per sorted index entry (permutation)
     key_of_slot: jax.Array  # [C] int32 packed coord per data slot (INVALID = free)
-    sdf: jax.Array  # [C+1, 8, 8, 8] float32 truncated signed distance (meters)
-    weight: jax.Array  # [C+1, 8, 8, 8] float32 integration weight (0 = unobserved)
-    color: jax.Array  # [C+1, 8, 8, 8, 3] float32 weight-scaled color accumulator
+    sdf: jax.Array  # [C+1, 512] float32 truncated signed distance (meters)
+    weight: jax.Array  # [C+1, 512] float32 integration weight (0 = unobserved)
+    color: jax.Array  # [C+1, 3, 512] float32 weight-scaled color accumulator
 
     @property
     def capacity(self) -> int:
@@ -67,9 +74,9 @@ def make_table(capacity: int) -> BlockTable:
         keys=jnp.full((capacity,), INVALID_KEY, dtype=jnp.int32),
         slot_of=jnp.arange(capacity, dtype=jnp.int32),
         key_of_slot=jnp.full((capacity,), INVALID_KEY, dtype=jnp.int32),
-        sdf=jnp.zeros((capacity + 1, BLOCK, BLOCK, BLOCK), jnp.float32),
-        weight=jnp.zeros((capacity + 1, BLOCK, BLOCK, BLOCK), jnp.float32),
-        color=jnp.zeros((capacity + 1, BLOCK, BLOCK, BLOCK, 3), jnp.float32),
+        sdf=jnp.zeros((capacity + 1, NVOX), jnp.float32),
+        weight=jnp.zeros((capacity + 1, NVOX), jnp.float32),
+        color=jnp.zeros((capacity + 1, 3, NVOX), jnp.float32),
     )
 
 
@@ -210,7 +217,7 @@ def garbage_collect(table: BlockTable) -> tuple[BlockTable, jax.Array]:
     slots' data is zeroed lazily on reuse. Returns (table, num_freed).
     """
     occupied_slot = jnp.any(
-        table.weight[: table.capacity] > 0.0, axis=(1, 2, 3)
+        table.weight[: table.capacity] > 0.0, axis=1
     )  # per data slot (exclude the scratch row)
     live_slot = occupied_slot & (table.key_of_slot != INVALID_KEY)
     freed = jnp.sum((table.key_of_slot != INVALID_KEY) & ~occupied_slot)
@@ -233,7 +240,7 @@ def free_slots_by_mask(table: BlockTable, dead_slot_mask: jax.Array) -> BlockTab
     order = jnp.argsort(key_of_slot, stable=True)
     # zero weights so occupancy scans can't see stale data (scratch row spared)
     dead_p = jnp.concatenate([dead_slot_mask, jnp.zeros((1,), bool)])
-    weight = jnp.where(dead_p[:, None, None, None], 0.0, table.weight)
+    weight = jnp.where(dead_p[:, None], 0.0, table.weight)
     return table._replace(
         keys=key_of_slot[order],
         slot_of=order.astype(jnp.int32),
@@ -268,9 +275,10 @@ def sample_trilinear(
                 local = vox - bc * BLOCK
                 key = pack_key(bc)
                 slot, found = lookup(table, key)
-                s = table.sdf[slot, local[..., 2], local[..., 1], local[..., 0]]
-                w = table.weight[slot, local[..., 2], local[..., 1], local[..., 0]]
-                c = table.color[slot, local[..., 2], local[..., 1], local[..., 0]]
+                v = local[..., 2] * 64 + local[..., 1] * 8 + local[..., 0]
+                s = table.sdf[slot, v]
+                w = table.weight[slot, v]
+                c = jnp.stack([table.color[slot, ch, v] for ch in range(3)], axis=-1)
                 ok = found & (w > 0.0)
                 tw = (
                     jnp.where(dx == 1, f[..., 0], 1 - f[..., 0])

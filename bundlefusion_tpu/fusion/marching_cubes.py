@@ -87,9 +87,10 @@ def _corner_sdf_for_blocks(table: BlockTable, slots: jax.Array, voxel_size: floa
     key = pack_key(nb_bc)
     slot, found = lookup(table, key)
     lz, ly, lx = nb_local[..., 2], nb_local[..., 1], nb_local[..., 0]
-    sdf = table.sdf[slot, lz, ly, lx]
-    wgt = table.weight[slot, lz, ly, lx]
-    col = table.color[slot, lz, ly, lx]
+    v = lz * 64 + ly * 8 + lx
+    sdf = table.sdf[slot, v]
+    wgt = table.weight[slot, v]
+    col = jnp.stack([table.color[slot, ch, v] for ch in range(3)], axis=-1)
     ok = found & (wgt > 0)
     sdf = jnp.where(ok, sdf, jnp.inf)
     col = jnp.where(ok[..., None], col / jnp.maximum(wgt, 1e-9)[..., None], 0.0)
@@ -184,7 +185,7 @@ def extract_mesh(
     chunked MC. Returns (vertices [V, 3], colors [V, 3], faces [F, 3])."""
     keys = np.asarray(table.key_of_slot)
     occupied = np.asarray(
-        jnp.any(table.weight[: table.capacity] > 0, axis=(1, 2, 3))
+        jnp.any(table.weight[: table.capacity] > 0, axis=1)
     ) & (keys != int(INVALID_KEY))
     slots_all = np.nonzero(occupied)[0].astype(np.int32)
     v_out, c_out = [], []

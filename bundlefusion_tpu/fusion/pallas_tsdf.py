@@ -191,25 +191,23 @@ def _kernel(
 
 
 def pool_to_planar(table: BlockTable):
-    """(sdf, weight, color) pools -> the kernel's 2D layouts. The color
-    transpose moves the whole pool once — batch callers hoist this OUT of
-    their per-frame scan so it isn't paid per frame."""
+    """(sdf, weight, color) pools -> the kernel's tiled views. The canonical
+    pool layout IS the kernel's planar layout (blocks.py), so these are pure
+    bitcast reshapes — free. (The old [C,8,8,8,3] canonical color forced a
+    whole-pool transpose here whose XLA copy materialized 16x tile-padded:
+    an OOM at 512^3-equivalent capacity.)"""
     rows = table.sdf.shape[0]
     sdf_r = table.sdf.reshape(rows, 4, 128)
     w_r = table.weight.reshape(rows, 4, 128)
-    col_r = jnp.transpose(table.color.reshape(rows, _NVOX, 3), (0, 2, 1)).reshape(
-        rows, 12, 128
-    )
+    col_r = table.color.reshape(rows, 12, 128)
     return sdf_r, w_r, col_r
 
 
 def pool_from_planar(table: BlockTable, sdf_r, w_r, col_r) -> BlockTable:
-    rows = table.sdf.shape[0]
-    col_back = jnp.transpose(col_r.reshape(rows, 3, _NVOX), (0, 2, 1))
     return table._replace(
         sdf=sdf_r.reshape(table.sdf.shape),
         weight=w_r.reshape(table.weight.shape),
-        color=col_back.reshape(table.color.shape),
+        color=col_r.reshape(table.color.shape),
     )
 
 

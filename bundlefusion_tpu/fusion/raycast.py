@@ -34,6 +34,22 @@ class RaycastResult(NamedTuple):
     normal: jax.Array  # [H, W, 3]
     color: jax.Array  # [H, W, 3]
     hit: jax.Array  # [H, W] bool
+    splat_truncated: jax.Array  # int32 — tile coverage dropped by the splat
+    # window cap (blocks closer than the derived span limit lose far tiles;
+    # rays there may miss geometry — counted, like every capacity edge)
+
+
+def splat_span(cam: CameraModel, cfg: AppConfig, tile: int = 16, cap: int = 8) -> int:
+    """Static per-axis tile span of the splat scatter window, derived from the
+    worst-case projected block footprint (block bounding sphere at depth_min).
+    Capped to bound the unrolled scatter; the residual truncation beyond the
+    cap is what ``splat_intervals`` counts."""
+    import math
+
+    rad = 0.5 * BLOCK * cfg.voxel_size * math.sqrt(3.0)
+    pr_max = rad * max(cam.fx, cam.fy) / max(cfg.depth_min, 1e-3)
+    needed = int(math.ceil(2.0 * pr_max / tile)) + 1
+    return max(2, min(needed, cap))
 
 
 def splat_intervals(
@@ -42,7 +58,7 @@ def splat_intervals(
     cam: CameraModel,
     cfg: AppConfig,
     tile: int = 16,
-) -> tuple[jax.Array, jax.Array]:
+) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Per-tile ray interval bounds from block AABB projection.
 
     The compute-only replacement for the reference's DX11 ray-interval
@@ -51,7 +67,9 @@ def splat_intervals(
     bounding sphere, scatter-min/max camera depth into a [H/tile, W/tile]
     grid. Rays then march only inside [near, far] of their tile.
 
-    Returns (near [th, tw], far [th, tw]) in camera-z; far==0 marks empty.
+    Returns (near [th, tw], far [th, tw], truncated_tiles int32) in camera-z;
+    far==0 marks empty. ``truncated_tiles`` counts block-tile coverage dropped
+    by the bounded scatter window (see :func:`splat_span`).
     """
     from .blocks import unpack_key
 
@@ -79,8 +97,9 @@ def splat_intervals(
 
     near = jnp.full((th, tw), jnp.inf, jnp.float32)
     far = jnp.zeros((th, tw), jnp.float32)
-    # blocks span few tiles; bounded unrolled scatter over the covered window
-    max_span = 4
+    # blocks span few tiles; bounded unrolled scatter over the covered window,
+    # sized from the worst-case footprint the config admits (capped)
+    max_span = splat_span(cam, cfg, tile)
     sentinel = th * tw
     for dv in range(max_span):
         for du in range(max_span):
@@ -92,7 +111,13 @@ def splat_intervals(
             near = near.reshape(-1).at[flat].min(z - rad, mode="drop").reshape(th, tw)
             far = far.reshape(-1).at[flat].max(z + rad, mode="drop").reshape(th, tw)
     near = jnp.where(jnp.isfinite(near), jnp.maximum(near, cfg.depth_min), 0.0)
-    return near, far
+    span_u = u1 - u0 + 1
+    span_v = v1 - v0 + 1
+    dropped = span_u * span_v - jnp.minimum(span_u, max_span) * jnp.minimum(
+        span_v, max_span
+    )
+    truncated = jnp.sum(jnp.where(on_screen, dropped, 0)).astype(jnp.int32)
+    return near, far, truncated
 
 
 @functools.partial(jax.jit, static_argnames=("cam", "cfg"))
@@ -118,7 +143,7 @@ def raycast(
     # --- phase 1: per-tile ray intervals from block AABB splatting (the
     # compute-only stand-in for the reference's DX11 interval rasterization) ---
     tile = 16
-    near, far = splat_intervals(table, pose_c2w, cam, cfg, tile=tile)
+    near, far, splat_trunc = splat_intervals(table, pose_c2w, cam, cfg, tile=tile)
     tv = (v / tile).astype(jnp.int32)
     tu = (u / tile).astype(jnp.int32)
     near_px = near[tv, tu]  # camera-z bounds per pixel
@@ -180,7 +205,10 @@ def raycast(
 
     # hit_t is distance along the unit ray; camera-z depth = t / |dirs_cam|
     depth_out = jnp.where(hit, hit_t * inv_norm[..., 0], 0.0)
-    return RaycastResult(depth=depth_out, normal=normal, color=color, hit=hit)
+    return RaycastResult(
+        depth=depth_out, normal=normal, color=color, hit=hit,
+        splat_truncated=splat_trunc,
+    )
 
 
 def shade_preview(result: RaycastResult, light_dir=(0.3, -0.5, 0.8)) -> jax.Array:

@@ -32,6 +32,7 @@ from ..config import AppConfig
 from .blocks import (
     BLOCK,
     INVALID_KEY,
+    NVOX,
     BlockTable,
     allocate,
     block_origin,
@@ -63,9 +64,9 @@ class HostBlockStore:
         self._cap = 0
         self._n_live = 0
         self._keys = np.zeros((0,), np.int32)
-        self._sdf = np.zeros((0, BLOCK, BLOCK, BLOCK), np.float32)
-        self._wgt = np.zeros((0, BLOCK, BLOCK, BLOCK), np.float32)
-        self._col = np.zeros((0, BLOCK, BLOCK, BLOCK, 3), np.float32)
+        self._sdf = np.zeros((0, NVOX), np.float32)
+        self._wgt = np.zeros((0, NVOX), np.float32)
+        self._col = np.zeros((0, 3, NVOX), np.float32)
         self._free: list[int] = []
         self._chunks: dict[int, list[int]] = {}  # chunk key -> live row list
 
@@ -88,9 +89,9 @@ class HostBlockStore:
             return np.concatenate([a, np.zeros((add,) + shape, a.dtype)])
 
         self._keys = ext(self._keys, ())
-        self._sdf = ext(self._sdf, (BLOCK, BLOCK, BLOCK))
-        self._wgt = ext(self._wgt, (BLOCK, BLOCK, BLOCK))
-        self._col = ext(self._col, (BLOCK, BLOCK, BLOCK, 3))
+        self._sdf = ext(self._sdf, (NVOX,))
+        self._wgt = ext(self._wgt, (NVOX,))
+        self._col = ext(self._col, (3, NVOX))
         self._free.extend(range(self._cap, new_cap))
         self._cap = new_cap
 
@@ -158,9 +159,9 @@ class HostBlockStore:
             z = np.zeros((0,), np.int32)
             return (
                 z,
-                np.zeros((0, BLOCK, BLOCK, BLOCK), np.float32),
-                np.zeros((0, BLOCK, BLOCK, BLOCK), np.float32),
-                np.zeros((0, BLOCK, BLOCK, BLOCK, 3), np.float32),
+                np.zeros((0, NVOX), np.float32),
+                np.zeros((0, NVOX), np.float32),
+                np.zeros((0, 3, NVOX), np.float32),
             )
         r = np.asarray(rows, np.int64)
         out = (
@@ -194,7 +195,7 @@ def _far_mask(table: BlockTable, center: jax.Array, radius: float, voxel_size: f
     coords = unpack_key(table.key_of_slot)
     ctr = block_origin(coords, voxel_size) + 0.5 * BLOCK * voxel_size
     d = jnp.linalg.norm(ctr - center, axis=-1)
-    occupied = jnp.any(table.weight[: table.capacity] > 0, axis=(1, 2, 3))
+    occupied = jnp.any(table.weight[: table.capacity] > 0, axis=1)
     live = table.key_of_slot != INVALID_KEY
     return (d > radius) & occupied & live, jnp.where(live, d, 0.0)
 

@@ -27,6 +27,7 @@ from .blocks import (
     BLOCK,
     INVALID_KEY,
     BlockTable,
+    allocate,
     block_origin,
     lookup,
     pack_key,
@@ -188,34 +189,31 @@ def _integrate_blocks(
         )
         sdf_clamped = jnp.clip(sdf_val, -trunc, trunc)
         dw = jnp.where(upd_ok, cfg.integration_weight_sample * weight_sign, 0.0)
-        shape3 = (BLOCK, BLOCK, BLOCK)
-        return (
-            sdf_clamped.reshape(shape3),
-            dw.reshape(shape3),
-            c.reshape(shape3 + (3,)),
-        )
+        # pools store flat voxels (v = z*64+y*8+x — voxel_centers' flatten
+        # order) with channel-major color: return kernel-native layouts
+        return sdf_clamped, dw, c.T
 
     sdf_new, dw, c_new = jax.vmap(per_block)(coords, mask)
 
     # weighted running mean, written in the reversible accumulate form:
     #   S = sum w_i * sdf_i ; W = sum w_i ; value = S / W
-    old_w = table.weight[slots]
+    old_w = table.weight[slots]  # [B, 512]
     old_sdf = table.sdf[slots]
-    old_col = table.color[slots]
+    old_col = table.color[slots]  # [B, 3, 512]
     new_w = old_w + dw
     # color is stored as the weighted *accumulator* so de-integration is exact
     num = old_sdf * old_w + sdf_new * dw
     upd_sdf = jnp.where(new_w > 1e-6, num / jnp.maximum(new_w, 1e-6), 0.0)
-    upd_col = old_col + c_new * dw[..., None]
+    upd_col = old_col + c_new * dw[:, None, :]
     new_w = jnp.clip(new_w, 0.0, cfg.max_integration_weight)
     upd_w = jnp.where(new_w > 1e-6, new_w, 0.0)
     upd_sdf = jnp.where(upd_w > 0, upd_sdf, 0.0)
-    upd_col = jnp.where(upd_w[..., None] > 0, upd_col, 0.0)
+    upd_col = jnp.where(upd_w[:, None, :] > 0, upd_col, 0.0)
 
     return table._replace(
-        sdf=table.sdf.at[slots].set(jnp.where(mask[:, None, None, None], upd_sdf, table.sdf[slots])),
-        weight=table.weight.at[slots].set(jnp.where(mask[:, None, None, None], upd_w, table.weight[slots])),
-        color=table.color.at[slots].set(jnp.where(mask[:, None, None, None, None], upd_col, table.color[slots])),
+        sdf=table.sdf.at[slots].set(jnp.where(mask[:, None], upd_sdf, table.sdf[slots])),
+        weight=table.weight.at[slots].set(jnp.where(mask[:, None], upd_w, table.weight[slots])),
+        color=table.color.at[slots].set(jnp.where(mask[:, None, None], upd_col, table.color[slots])),
     )
 
 
@@ -236,20 +234,21 @@ def _patch_window(cfg: AppConfig) -> tuple[int, int]:
 
 
 def patch_overflow_count(
-    slots: jax.Array,  # [B]
+    upd_keys: jax.Array,  # [B] packed block keys of the frame's update set
     mask: jax.Array,  # [B]
-    table: BlockTable,
     pose_c2w: jax.Array,
     cam: CameraModel,
     cfg: AppConfig,
 ) -> jax.Array:
     """Count update blocks whose projected corner AABB exceeds the kernel's
-    sampling window (VERDICT: the silent near-camera drop, now counted)."""
+    sampling window (VERDICT: the silent near-camera drop, now counted).
+    Works on packed keys directly — no table needed (masked rows may hold
+    INVALID_KEY; their garbage coords are excluded by ``mask``)."""
     from .blocks import unpack_key
 
     pu, pv = _patch_window(cfg)
     w2c = se3.mat_inverse(pose_c2w)
-    coords = unpack_key(table.key_of_slot[jnp.clip(slots, 0, table.capacity - 1)])
+    coords = unpack_key(upd_keys)
     ctr = (coords.astype(jnp.float32) + 0.5) * (BLOCK * cfg.voxel_size)
     offs = jnp.asarray(
         [[dx, dy, dz] for dx in (-0.5, 0.5) for dy in (-0.5, 0.5) for dz in (-0.5, 0.5)],
@@ -330,11 +329,124 @@ def integrate(
     upd_keys, f_trunc = dedup_keys_counted(keys, cfg.blocks_per_frame_cap)
     table, overflow = allocate(table, upd_keys)
     slots, mask = _frame_update_set(table, depth, pose_c2w, cam, cfg, upd_keys)
-    p_ovf = patch_overflow_count(slots, mask, table, pose_c2w, cam, cfg)
+    p_ovf = patch_overflow_count(upd_keys, mask, pose_c2w, cam, cfg)
     table = _integrate_blocks_dispatch(slots, mask, table, depth, color, pose_c2w, cam, cfg, +1.0)
     return table, FuseDiag(
         overflow=overflow, upd_truncated=f_trunc, patch_overflow=p_ovf, upd_mask=mask
     )
+
+
+def _upd_keys_batch(
+    depths: jax.Array,  # [N, H, W]
+    poses: jax.Array,  # [N, 4, 4]
+    active: jax.Array,  # [N] bool — inactive rows yield all-INVALID key lists
+    cam: CameraModel,
+    cfg: AppConfig,
+) -> tuple[jax.Array, jax.Array]:
+    """Per-row deduped update-key lists ([N, cap]) + per-row dropped-unique
+    counts ([N]), computed ONCE outside the fuse scan. Each row stays a pure
+    function of (depth, pose) — de-integration exactness unchanged. Hoisting
+    this out of the per-frame scan removes the old design's dominant cost: a
+    full [H*W*samples] key sort per scan step, computed TWICE per frame (once
+    for the allocation union, once again in _frame_update_set)."""
+    from .blocks import dedup_keys_counted
+
+    def one(d, p, ok):
+        keys = frame_alloc_keys(d, p, cam, cfg)
+        return dedup_keys_counted(
+            jnp.where(ok, keys, INVALID_KEY), cfg.blocks_per_frame_cap
+        )
+
+    return jax.vmap(one)(depths, poses, active)
+
+
+def _union_counted(upd_keys: jax.Array, union_cap: int) -> tuple[jax.Array, jax.Array]:
+    """Compact the union of per-row key lists to [union_cap]; also count the
+    unique keys DROPPED by the cap (silent under-allocation otherwise)."""
+    flat = upd_keys.reshape(-1)
+    s = jnp.sort(flat)
+    first = jnp.concatenate([jnp.array([True]), s[1:] != s[:-1]])
+    valid_first = first & (s != INVALID_KEY)
+    n_uniq = jnp.sum(valid_first).astype(jnp.int32)
+    overflow = jnp.maximum(0, n_uniq - union_cap)
+    union = jnp.sort(jnp.where(valid_first, s, INVALID_KEY))[:union_cap]
+    return union, overflow
+
+
+def _fuse_rows_scan(
+    table: BlockTable,
+    depths: jax.Array,  # [B, H, W] frame storage (rows index into it)
+    colors: jax.Array,  # [B, H, W, 3]
+    fidx: jax.Array,  # [N] int32 — frame-storage index per row
+    poses: jax.Array,  # [N, 4, 4]
+    active: jax.Array,  # [N] bool — inactive rows skip ALL compute
+    keys_rows: jax.Array,  # [N, cap] per-row update-key lists
+    rec_rows: jax.Array,  # [N, cap] recorded update masks (all-True to disable)
+    signs: jax.Array,  # [N] float32 — +1 integrate / -1 de-integrate per row
+    cam: CameraModel,
+    cfg: AppConfig,
+) -> tuple[BlockTable, jax.Array, jax.Array]:
+    """Shared fuse executor: scan the projective TSDF kernel over rows.
+    Allocation must already have happened — the table's index arrays are
+    loop-invariant; only the voxel pools are carried (on the Pallas path the
+    planar conversion is paid ONCE per call, not once per row). Returns
+    (table, applied masks [N, cap], patch-overflow counts [N])."""
+    cap_slot = table.capacity
+
+    if _use_pallas(cfg):
+        from .pallas_tsdf import (
+            integrate_blocks_pallas_planar,
+            pool_from_planar,
+            pool_to_planar,
+        )
+
+        def step_p(pools, inp):
+            fi, pose, ok, keys_row, rec_row, sign = inp
+
+            def do(pools):
+                slots, found = lookup(table, keys_row)
+                mask = found & rec_row
+                slots = jnp.where(mask, slots, cap_slot).astype(jnp.int32)
+                p_ovf = patch_overflow_count(keys_row, mask, pose, cam, cfg)
+                pools = integrate_blocks_pallas_planar(
+                    pools, table.key_of_slot, slots, mask,
+                    depths[fi], colors[fi], pose, cam, cfg, sign,
+                )
+                return pools, (mask, p_ovf)
+
+            def skip(pools):
+                return pools, (jnp.zeros(keys_row.shape[0], bool), jnp.int32(0))
+
+            return jax.lax.cond(ok, do, skip, pools)
+
+        pools, (masks, p_ovfs) = jax.lax.scan(
+            step_p,
+            pool_to_planar(table),
+            (fidx, poses, active, keys_rows, rec_rows, signs),
+        )
+        return pool_from_planar(table, *pools), masks, p_ovfs
+
+    def step(tbl, inp):
+        fi, pose, ok, keys_row, rec_row, sign = inp
+
+        def do(tbl):
+            slots, found = lookup(tbl, keys_row)
+            mask = found & rec_row
+            p_ovf = patch_overflow_count(keys_row, mask, pose, cam, cfg)
+            tbl = _integrate_blocks_dispatch(
+                slots, mask, tbl, depths[fi], colors[fi], pose, cam, cfg, sign
+            )
+            return tbl, (mask, p_ovf)
+
+        def skip(tbl):
+            return tbl, (jnp.zeros(keys_row.shape[0], bool), jnp.int32(0))
+
+        return jax.lax.cond(ok, do, skip, tbl)
+
+    table, (masks, p_ovfs) = jax.lax.scan(
+        step, table, (fidx, poses, active, keys_rows, rec_rows, signs)
+    )
+    return table, masks, p_ovfs
 
 
 @functools.partial(jax.jit, static_argnames=("cam", "cfg"))
@@ -347,109 +459,23 @@ def integrate_batch(
     cam: CameraModel,
     cfg: AppConfig,
 ) -> tuple[BlockTable, FuseDiag]:
-    """Integrate a whole frame batch in ONE device program (lax.scan over
-    frames) — one dispatch per chunk instead of one per frame, which matters
-    when host<->device latency is nontrivial. Returns (table, FuseDiag) with
-    per-frame [B, cap] update masks.
+    """Integrate a whole frame batch in ONE device program — one dispatch per
+    chunk instead of one per frame. Returns (table, FuseDiag) with per-frame
+    [B, cap] update masks.
 
-    Allocation is amortized: the union of every frame's truncation-band keys
-    is sorted/merged into the pool ONCE, then the per-frame scan only computes
-    update sets and runs the integrate kernel. (Per-frame update sets remain
-    pure functions of (depth, pose) — de-integration exactness is untouched.)
-    Keys dropped by the union cap are counted in ``overflow`` (they would
-    otherwise vanish silently and the affected frames would under-integrate).
-    """
-    from .blocks import allocate, dedup_keys, dedup_keys_counted
-
+    Allocation is amortized: per-frame key lists are computed once (vmapped,
+    outside the scan), their union is sorted/merged into the pool ONCE, and
+    the per-frame scan only does lookup + the integrate kernel. Keys dropped
+    by the union cap are counted in ``overflow``."""
     b = depths.shape[0]
-    union_cap = cfg.blocks_per_frame_cap * 4
-    all_keys = jax.vmap(
-        lambda d, p, ok: jnp.where(
-            ok, frame_alloc_keys(d, p, cam, cfg), INVALID_KEY
-        )
-    )(depths, poses, valid).reshape(-1)
-    s = jnp.sort(all_keys)
-    uniq_n = jnp.sum(
-        jnp.concatenate([jnp.array([True]), s[1:] != s[:-1]]) & (s != INVALID_KEY)
-    )
-    union_overflow = jnp.maximum(0, uniq_n - union_cap).astype(jnp.int32)
-    union = dedup_keys(all_keys, union_cap)
+    cap = cfg.blocks_per_frame_cap
+    upd_keys_all, f_truncs = _upd_keys_batch(depths, poses, valid, cam, cfg)
+    union, union_overflow = _union_counted(upd_keys_all, cap * 4)
     table, overflow = allocate(table, union)
-
-    if _use_pallas(cfg):
-        # planar-pool scan: the whole-pool color transpose is paid ONCE per
-        # batch instead of once per frame (the table's index arrays don't
-        # change inside the scan — allocation already happened above)
-        from .pallas_tsdf import (
-            integrate_blocks_pallas_planar,
-            pool_from_planar,
-            pool_to_planar,
-        )
-
-        def step_p(pools, inp):
-            depth, color, pose, ok = inp
-
-            def do(pools):
-                upd_keys, f_trunc = dedup_keys_counted(
-                    frame_alloc_keys(depth, pose, cam, cfg), cfg.blocks_per_frame_cap
-                )
-                slots, mask = _frame_update_set(table, depth, pose, cam, cfg, upd_keys)
-                mask = mask & ok
-                slots = jnp.where(mask, slots, table.capacity).astype(jnp.int32)
-                p_ovf = patch_overflow_count(slots, mask, table, pose, cam, cfg)
-                new_pools = integrate_blocks_pallas_planar(
-                    pools, table.key_of_slot, slots, mask, depth, color, pose,
-                    cam, cfg, +1.0,
-                )
-                return new_pools, (mask, p_ovf, f_trunc)
-
-            def skip(pools):
-                return pools, (
-                    jnp.zeros(cfg.blocks_per_frame_cap, bool),
-                    jnp.int32(0),
-                    jnp.int32(0),
-                )
-
-            return jax.lax.cond(ok, do, skip, pools)
-
-        pools, (upd_masks, p_ovfs, f_truncs) = jax.lax.scan(
-            step_p, pool_to_planar(table), (depths, colors, poses, valid)
-        )
-        table = pool_from_planar(table, *pools)
-        return table, FuseDiag(
-            overflow=overflow + union_overflow,
-            upd_truncated=jnp.sum(f_truncs).astype(jnp.int32),
-            patch_overflow=jnp.sum(p_ovfs).astype(jnp.int32),
-            upd_mask=upd_masks,
-        )
-
-    def step(table, inp):
-        depth, color, pose, ok = inp
-
-        def do(table):
-            upd_keys, f_trunc = dedup_keys_counted(
-                frame_alloc_keys(depth, pose, cam, cfg), cfg.blocks_per_frame_cap
-            )
-            slots, mask = _frame_update_set(table, depth, pose, cam, cfg, upd_keys)
-            p_ovf = patch_overflow_count(slots, mask, table, pose, cam, cfg)
-            return (
-                _integrate_blocks_dispatch(
-                    slots, mask, table, depth, color, pose, cam, cfg, +1.0
-                ),
-                (mask, p_ovf, f_trunc),
-            )
-
-        def skip(table):
-            return table, (
-                jnp.zeros(cfg.blocks_per_frame_cap, bool),
-                jnp.int32(0),
-                jnp.int32(0),
-            )
-
-        return jax.lax.cond(ok, do, skip, table)
-
-    table, (upd_masks, p_ovfs, f_truncs) = jax.lax.scan(
-        step, table, (depths, colors, poses, valid)
+    table, upd_masks, p_ovfs = _fuse_rows_scan(
+        table, depths, colors,
+        jnp.arange(b, dtype=jnp.int32), poses, valid, upd_keys_all,
+        jnp.ones((b, cap), bool), jnp.ones(b, jnp.float32), cam, cfg,
     )
     return table, FuseDiag(
         overflow=overflow + union_overflow,
@@ -494,46 +520,58 @@ def deintegrate_batch(
     upd_masks: jax.Array | None = None,  # [B, cap] recorded at integrate time
 ) -> BlockTable:
     """Batched exact removal (scan over frames; one dispatch per batch)."""
+    b = depths.shape[0]
     if upd_masks is None:
-        upd_masks = jnp.ones((depths.shape[0], cfg.blocks_per_frame_cap), bool)
-
-    if _use_pallas(cfg):
-        from .pallas_tsdf import (
-            integrate_blocks_pallas_planar,
-            pool_from_planar,
-            pool_to_planar,
-        )
-
-        def step_p(pools, inp):
-            depth, color, pose, ok, rec = inp
-
-            def do(pools):
-                slots, mask = _frame_update_set(table, depth, pose, cam, cfg)
-                mask = mask & rec & ok
-                slots = jnp.where(mask, slots, table.capacity).astype(jnp.int32)
-                return integrate_blocks_pallas_planar(
-                    pools, table.key_of_slot, slots, mask, depth, color, pose,
-                    cam, cfg, -1.0,
-                )
-
-            return jax.lax.cond(ok, do, lambda p: p, pools), None
-
-        pools, _ = jax.lax.scan(
-            step_p, pool_to_planar(table), (depths, colors, poses, valid, upd_masks)
-        )
-        return pool_from_planar(table, *pools)
-
-    def step(table, inp):
-        depth, color, pose, ok, rec = inp
-
-        def do(t):
-            slots, mask = _frame_update_set(t, depth, pose, cam, cfg)
-            mask = mask & rec
-            return _integrate_blocks_dispatch(slots, mask, t, depth, color, pose, cam, cfg, -1.0)
-
-        return jax.lax.cond(ok, do, lambda t: t, table), None
-
-    table, _ = jax.lax.scan(
-        step, table, (depths, colors, poses, valid, upd_masks)
+        upd_masks = jnp.ones((b, cfg.blocks_per_frame_cap), bool)
+    upd_keys_all, _ = _upd_keys_batch(depths, poses, valid, cam, cfg)
+    table, _, _ = _fuse_rows_scan(
+        table, depths, colors,
+        jnp.arange(b, dtype=jnp.int32), poses, valid, upd_keys_all,
+        upd_masks, -jnp.ones(b, jnp.float32), cam, cfg,
     )
     return table
+
+
+@functools.partial(jax.jit, static_argnames=("cam", "cfg"))
+def fuse_batch(
+    table: BlockTable,
+    depths: jax.Array,  # [B, H, W]
+    colors: jax.Array,  # [B, H, W, 3]
+    old_poses: jax.Array,  # [B, 4, 4] — poses the frames were integrated with
+    new_poses: jax.Array,  # [B, 4, 4] — current optimized poses
+    deint_mask: jax.Array,  # [B] de-integrate at old_poses
+    reint_mask: jax.Array,  # [B] (re-)integrate at new_poses
+    upd_masks_rec: jax.Array,  # [B, cap] recorded update masks for the deints
+    cam: CameraModel,
+    cfg: AppConfig,
+) -> tuple[BlockTable, FuseDiag]:
+    """De-integrate + (re-)integrate a frame batch in ONE device program: one
+    allocation merge, one kernel scan over 2B rows (all de-integrations first,
+    preserving the deintegrate_batch->integrate_batch order), and — on the
+    Pallas path — ONE planar pool round trip instead of two. This is the
+    pipeline's per-chunk fuse step (SURVEY.md §3.4 on-the-fly re-integration).
+
+    Returns (table, FuseDiag); ``upd_mask`` is the [B, cap] re-integration
+    record (all-False rows for frames not re-integrated)."""
+    b = depths.shape[0]
+    cap = cfg.blocks_per_frame_cap
+    d2 = jnp.concatenate([depths, depths])
+    poses2 = jnp.concatenate([old_poses, new_poses])
+    act2 = jnp.concatenate([deint_mask, reint_mask])
+    keys2, trunc2 = _upd_keys_batch(d2, poses2, act2, cam, cfg)
+    union, union_overflow = _union_counted(keys2[b:], cap * 4)
+    table, overflow = allocate(table, union)
+    fidx2 = jnp.concatenate([jnp.arange(b), jnp.arange(b)]).astype(jnp.int32)
+    rec2 = jnp.concatenate([upd_masks_rec, jnp.ones((b, cap), bool)])
+    sign2 = jnp.concatenate(
+        [-jnp.ones(b, jnp.float32), jnp.ones(b, jnp.float32)]
+    )
+    table, masks2, povf2 = _fuse_rows_scan(
+        table, depths, colors, fidx2, poses2, act2, keys2, rec2, sign2, cam, cfg
+    )
+    return table, FuseDiag(
+        overflow=overflow + union_overflow,
+        upd_truncated=jnp.sum(trunc2[b:]).astype(jnp.int32),
+        patch_overflow=jnp.sum(povf2[b:]).astype(jnp.int32),
+        upd_mask=masks2[b:],
+    )

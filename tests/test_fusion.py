@@ -57,8 +57,8 @@ def test_allocate_preserves_data(rng):
     table, _ = blocks.allocate(table, k2)
     slot2, found = blocks.lookup(table, k1)
     assert bool(found[0])
-    assert float(table.sdf[slot2[0], 0, 0, 0]) == 0.5
-    assert float(table.weight[slot2[0], 0, 0, 0]) == 2.0
+    assert float(table.sdf[slot2[0], 0]) == 0.5
+    assert float(table.weight[slot2[0], 0]) == 2.0
 
 
 def test_allocate_overflow_counted():
@@ -78,7 +78,7 @@ def test_garbage_collect():
     slots, found = blocks.lookup(table, keys)
     w = np.array(table.weight)
     for i in range(0, 30, 2):
-        w[int(slots[i]), 0, 0, 0] = 1.0
+        w[int(slots[i]), 0] = 1.0
     table = table._replace(weight=jnp.asarray(w))
     table, freed = blocks.garbage_collect(table)
     assert int(freed) == 15
@@ -249,6 +249,35 @@ def test_raycast_matches_rendered_depth(fused_scene):
     assert np.median(err) < cfg.voxel_size * 2, f"median depth err {np.median(err)}"
 
 
+def test_splat_truncation_counted():
+    """VERDICT r2 weak #7: a near-camera block whose projected footprint
+    exceeds the bounded scatter window must be COUNTED as truncated coverage,
+    not silently dropped (the capacity-edge counter discipline)."""
+    from bundlefusion_tpu.geometry.camera import CameraModel
+
+    voxel = 0.02  # block extent 0.16 m, bounding radius ~0.139 m
+    cfg = dataclasses.replace(APP, voxel_size=voxel, depth_min=0.1)
+    cam = CameraModel.create(230.4, 230.4, 127.5, 95.5, 256, 192)  # 16x12 tiles
+    table = blocks.make_table(64)
+    table, _ = blocks.allocate(
+        table, blocks.pack_key(jnp.asarray([[1, 1, 1]], jnp.int32))
+    )
+    ctr = (np.array([1, 1, 1]) + 0.5) * 8 * voxel
+    pose = np.eye(4, dtype=np.float32)
+
+    # far away: footprint fits the window, nothing truncated
+    pose[:3, 3] = ctr - np.array([0, 0, 2.0])
+    _, far_far, trunc_far = raycast.splat_intervals(table, jnp.asarray(pose), cam, cfg)
+    assert int(trunc_far) == 0
+    assert float(jnp.max(far_far)) > 0.0
+
+    # just past the bounding sphere: footprint covers ~the whole tile grid,
+    # wider than the (depth_min-derived, capped) scatter window
+    pose[:3, 3] = ctr - np.array([0, 0, 0.18])
+    _, _, trunc_near = raycast.splat_intervals(table, jnp.asarray(pose), cam, cfg)
+    assert int(trunc_near) > 0
+
+
 # ---------------------------------------------------------------------------
 # marching cubes (tetrahedra)
 # ---------------------------------------------------------------------------
@@ -269,14 +298,14 @@ def _make_sphere_table(radius=0.3, center=(0.0, 0.0, 0.0), voxel=0.02):
     kos = jnp.concatenate([table.key_of_slot, jnp.asarray([blocks.INVALID_KEY])])
     bc = blocks.unpack_key(kos)
     centers = jax.vmap(lambda b: blocks.voxel_centers(b, voxel))(bc)  # [C+1,8,8,8,3]
-    sdf = jnp.linalg.norm(centers - ctr, axis=-1) - radius
-    active = (kos != blocks.INVALID_KEY)[:, None, None, None]
+    sdf = jnp.linalg.norm(centers - ctr, axis=-1).reshape(-1, 512) - radius  # flat v
+    active = (kos != blocks.INVALID_KEY)[:, None]
     near = jnp.abs(sdf) < 0.08
     w = jnp.where(active & near, 1.0, 0.0)
     table = table._replace(
         sdf=jnp.where(w > 0, jnp.clip(sdf, -0.06, 0.06), 0.0),
         weight=w,
-        color=jnp.broadcast_to(jnp.asarray([1.0, 0.5, 0.2]), table.color.shape) * w[..., None],
+        color=jnp.asarray([1.0, 0.5, 0.2])[None, :, None] * w[:, None, :],
     )
     return table, cfg
 
