@@ -74,6 +74,11 @@ class AppConfig:
 
     # --- re-integration (TrajectoryManager budget) ---
     max_reintegrations_per_frame: int = 2  # frames de+re-integrated per step budget
+    # pose-delta thresholds past which an integrated frame is scheduled for
+    # de+re-integration (the reference's TrajectoryManager pose-distance
+    # parameters; lived as hardcoded trajectory.py defaults until round 3)
+    reint_rot_thresh: float = 0.008  # radians
+    reint_trans_thresh: float = 0.004  # meters
     # device-side cache of frames in wire format (uint16 mm / uint8) feeding
     # de/re-integration; the host FrameStore holds ALL frames (the reference
     # keeps every integrate-frame resident for exactly this reason), so the

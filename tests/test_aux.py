@@ -255,3 +255,67 @@ def test_pipeline_on_kinect_noise():
     n = min(len(out.poses), len(seq.poses))
     ate = ate_rmse(out.poses[:n], seq.poses[:n], valid=out.valid[:n])
     assert ate < 0.02, f"noisy-sensor ATE {ate*100:.2f} cm"
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(
+    not os.environ.get("BF_SOAK"), reason="2k-frame soak: set BF_SOAK=1 (VERDICT r2 item 8)"
+)
+def test_soak_2k_frames_bounded_memory():
+    """Long-sequence soak (SURVEY §6 demo scale is 3.5k-8.6k frames): 2,048
+    frames down a multi-room corridor with streaming on and a ring much
+    smaller than the sequence. Asserts the capacity invariants that only
+    sustained growth exercises: bounded device blocks, ring-spill service at
+    finalize, stable ATE, and a live (non-collapsed) correspondence buffer."""
+    from bundlefusion_tpu.bundle.pipeline import run_sequence
+    from bundlefusion_tpu.config import Config, tiny_test_config
+    from bundlefusion_tpu.eval.ate import ate_rmse
+    from bundlefusion_tpu.io.replayer import Replayer, SyntheticSource
+    from bundlefusion_tpu.io.synthetic import generate_corridor_sequence
+
+    n = 2048
+    base = tiny_test_config()
+    cfg = Config(
+        app=dataclasses.replace(
+            base.app,
+            streaming_enabled=True,
+            streaming_radius=1.8,
+            streaming_watermark=0.5,
+            streaming_check_every=4,
+            block_capacity=4096,
+            history_ring_frames=256,  # << n: forces ring spill + deferral
+            gc_every_chunks=8,
+        ),
+        bundling=dataclasses.replace(
+            base.bundling,
+            max_frames=4096,
+            max_num_images=512,
+        ),
+    )
+    seq = generate_corridor_sequence(
+        n, width=128, height=96, x_span=9.0, out_and_back=True
+    )
+    rep = Replayer(SyntheticSource(seq), batch_size=32)
+    bf, out = run_sequence(rep, cfg, anchor_pose=seq.poses[0])
+
+    from bundlefusion_tpu.bundle.pipeline import RUNREC_FIELDS
+
+    rows = np.asarray(bf._runlog_dev[: bf.chunk_count])
+    cols = {k: i for i, k in enumerate(RUNREC_FIELDS)}
+    # bounded device residency: the pool never exceeds capacity and streaming
+    # actually paged blocks out
+    assert int(bf.table.num_active()) <= cfg.app.block_capacity
+    assert len(bf.block_store) > 0, "sustained growth must engage streaming"
+    # ring spill happened mid-run and was SERVICED by finalize, not lost
+    assert rows[:, cols["ring_miss"]].sum() > 0, "soak must exercise ring spill"
+    assert bf._ring_uploads > 0, "finalize must re-upload spilled frames"
+    # correspondence buffer survived hundreds of keyframes (fair eviction, no
+    # collapse): the cursor keeps moving in the final quarter of the run
+    tail = rows[-len(rows) // 4 :, cols["corr_cursor"]]
+    assert tail.max() > 0 and len(np.unique(tail)) > 1
+    # tracking quality: most frames valid, ATE bounded on the walked path
+    nn = min(len(out.poses), len(seq.poses))
+    valid_frac = out.valid[:nn].mean()
+    ate = ate_rmse(out.poses[:nn], seq.poses[:nn], valid=out.valid[:nn])
+    assert valid_frac > 0.85, f"valid fraction {valid_frac:.3f}"
+    assert ate < 0.06, f"soak ATE {ate*100:.2f} cm"
