@@ -35,9 +35,14 @@ def main() -> None:
     from bundlefusion_tpu.eval.ate import ate_rmse
     from bundlefusion_tpu.io.synthetic import apply_sensor_noise, generate_sequence
 
-    width = int(os.environ.get("BENCH_WIDTH", 320))
-    height = int(os.environ.get("BENCH_HEIGHT", 240))
+    # Flagship config = the reference's conditions (BASELINE.md): 640x480
+    # input, 512^3-equivalent volume capacity (262144 blocks x 8^3 voxels).
+    # BENCH_WIDTH=320 BENCH_HEIGHT=240 BENCH_BLOCKS=32768 reproduces the
+    # round-2 secondary line.
+    width = int(os.environ.get("BENCH_WIDTH", 640))
+    height = int(os.environ.get("BENCH_HEIGHT", 480))
     num_frames = int(os.environ.get("BENCH_FRAMES", 66))
+    block_capacity = int(os.environ.get("BENCH_BLOCKS", 262144))
     with_noise = os.environ.get("BENCH_NOISE", "1") != "0"
 
     cfg = Config(
@@ -48,7 +53,7 @@ def main() -> None:
             integration_height=height,
             voxel_size=0.01,
             truncation=0.04,
-            block_capacity=32768,
+            block_capacity=block_capacity,
             blocks_per_frame_cap=4096,
             raycast_width=width // 2,
             raycast_height=height // 2,
