@@ -9,12 +9,22 @@ the BlockSpec index_map, so the pipeline DMA-gathers block (slot[i]) while
 block (slot[i-1]) computes; outputs alias the inputs (in-place pool update).
 
 Depth/color sampling inside the kernel uses the same one-hot-matmul-in-a-patch
-trick as the XLA path: a dynamic 128x128 VMEM slice of the (padded) image and
-one MXU contraction per channel replace per-voxel random gathers, which
-Mosaic does not vectorize. Layout notes: Mosaic wants plain 2D vectors — all
-per-voxel quantities live as [512, 1] columns, block data is pre-reshaped to
+trick as the XLA path: a dynamic VMEM slice of the (padded) image and one MXU
+contraction per plane replace per-voxel random gathers, which Mosaic does not
+vectorize. Layout notes: Mosaic wants plain 2D vectors — all per-voxel
+quantities live as [512, 1] columns, block data is pre-reshaped to
 [C, 512, 1] outside the kernel, and image channels arrive as separate 2D
 planes (3D->2D slicing is an unsupported shape cast).
+
+Sampling runs on NATIVE bf16 MXU passes and stays BIT-EXACT: a one-hot
+contraction only ever adds zeros to the selected element, so exactness needs
+only exactly-representable operands. The f32 depth image is split into three
+bf16 planes (Dekker splitting — f32's 24 mantissa bits = 3 x bf16's 8, so
+hi+mid+lo reconstructs the f32 depth exactly) and color arrives as three
+uint8-valued planes (integers <= 255 are exact in bf16). Six 1-pass bf16
+matmuls replace the two 6-pass f32 emulations the default matmul precision
+would lower to — half the MXU work, identical results (equivalence-tested
+against the XLA path, `tests/test_pallas.py`).
 """
 
 from __future__ import annotations
@@ -31,9 +41,9 @@ from ..geometry import se3
 from ..geometry.camera import CameraModel
 from .blocks import BLOCK, BlockTable
 
-# patch rows (sublane-aligned origin, x8) and cols (lane-aligned origin, x128).
-# the wider column extent guarantees any <=~104 px projected window still fits
-# after its origin is quantized down.
+# patch rows (sublane-aligned origin, x16 — bf16 tile) and cols (lane-aligned
+# origin, x128). the wider column extent guarantees any <=~104 px projected
+# window still fits after its origin is quantized down.
 _PATCH_V = 128
 _PATCH_U = 256
 _NVOX = BLOCK**3
@@ -51,8 +61,12 @@ def _kernel(
     v0_ref,
     # inputs
     pose_ref,  # [1, 128] f32: w2c row-major (12) + intrinsics + sign
-    dimg_ref,  # [Hp, Wp] f32 depth
-    pimg_ref,  # [Hp, Wp] f32 packed color: r*65536 + g*256 + b (exact ints)
+    dhi_ref,  # [Hp, Wp] bf16 depth split hi (hi+mid+lo == f32 depth, exact)
+    dmid_ref,  # [Hp, Wp] bf16 depth split mid
+    dlo_ref,  # [Hp, Wp] bf16 depth split lo
+    cr_ref,  # [Hp, Wp] bf16 color r in 0..255 (exact bf16 integers)
+    cg_ref,  # [Hp, Wp] bf16 color g
+    cb_ref,  # [Hp, Wp] bf16 color b
     sdf_ref,  # [1, 4, 128]
     w_ref,  # [1, 4, 128]
     col_ref,  # [1, 12, 128] planar r|g|b (4 rows each)
@@ -123,28 +137,26 @@ def _kernel(
 
         grid_v = jax.lax.broadcasted_iota(jnp.int32, (_NVOX, _PATCH_V), 1)
         grid_u = jax.lax.broadcasted_iota(jnp.int32, (_NVOX, _PATCH_U), 1)
-        oh_v = (lvc == grid_v).astype(jnp.float32)  # [512, Pv]
+        # one-hot selectors are exact in bf16 (0/1) -> every sample below is a
+        # single NATIVE bf16 MXU pass, and the selected value is exact (the
+        # contraction adds only zeros)
+        oh_v = (lvc == grid_v).astype(jnp.bfloat16)  # [512, Pv]
         oh_u = (luc == grid_u).astype(jnp.float32)  # [512, Pu]
-        v0a = pl.multiple_of(v0, 8)
+        v0a = pl.multiple_of(v0, 16)
         u0a = pl.multiple_of(u0, 128)
 
         def sample(img_ref):
-            patch = img_ref[pl.ds(v0a, _PATCH_V), pl.ds(u0a, _PATCH_U)]  # [Pv, Pu]
+            patch = img_ref[pl.ds(v0a, _PATCH_V), pl.ds(u0a, _PATCH_U)]  # [Pv, Pu] bf16
             tmp = jnp.dot(oh_v, patch, preferred_element_type=jnp.float32)  # [512, Pu]
             return jnp.sum(tmp * oh_u, axis=1, keepdims=True)  # [512, 1]
 
-        d = sample(dimg_ref)
-        # ONE matmul-sample for all three color channels: the packed plane holds
-        # r*65536 + g*256 + b as exact f32 integers (< 2^24); unpacking is cheap
-        # VPU arithmetic — this halves the kernel's MXU work vs per-channel passes
-        pc = sample(pimg_ref)
-        cr = jnp.floor(pc * (1.0 / 65536.0))
-        rem = pc - cr * 65536.0
-        cg = jnp.floor(rem * (1.0 / 256.0))
-        cb = rem - cg * 256.0
-        cr = cr * (1.0 / 255.0)
-        cg = cg * (1.0 / 255.0)
-        cb = cb * (1.0 / 255.0)
+        # exact f32 depth from the 3-way bf16 split: hi+mid fits 17 mantissa
+        # bits (representable), +lo restores the full 24 — bit-equal to the
+        # f32 image the XLA path samples
+        d = (sample(dhi_ref) + sample(dmid_ref)) + sample(dlo_ref)
+        cr = sample(cr_ref) * (1.0 / 255.0)
+        cg = sample(cg_ref) * (1.0 / 255.0)
+        cb = sample(cb_ref) * (1.0 / 255.0)
 
         trunc = trunc_base + trunc_scale * d
         sdf_val = d - pz
@@ -211,13 +223,24 @@ def pool_from_planar(table: BlockTable, sdf_r, w_r, col_r) -> BlockTable:
     )
 
 
-def pack_color_plane(color: jax.Array) -> jax.Array:
-    """[H, W, 3] float color in [0,1] -> one f32 plane of exact packed
-    integers r*65536+g*256+b (sensor color is uint8 wire data, so the 1/255
-    quantization is lossless; de-integration re-packs identically, keeping
-    the exact-inverse property)."""
-    c8 = jnp.clip(jnp.round(color * 255.0), 0.0, 255.0)
-    return c8[..., 0] * 65536.0 + c8[..., 1] * 256.0 + c8[..., 2]
+def split_depth_planes(depth: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """f32 depth -> three bf16 planes with hi+mid+lo == depth EXACTLY
+    (Dekker splitting: f32's 24 mantissa bits = 3 x bf16's 8; each residual
+    is exactly representable in f32, and the final residual fits bf16)."""
+    hi = depth.astype(jnp.bfloat16)
+    r1 = depth - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, mid, lo
+
+
+def color_planes(color: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """[H, W, 3] float color in [0,1] -> three bf16 planes of exact 0..255
+    integers (sensor color is uint8 wire data, so the 1/255 quantization is
+    lossless; de-integration re-quantizes identically, keeping the
+    exact-inverse property)."""
+    c8 = jnp.clip(jnp.round(color * 255.0), 0.0, 255.0).astype(jnp.bfloat16)
+    return c8[..., 0], c8[..., 1], c8[..., 2]
 
 
 def integrate_blocks_pallas_planar(
@@ -255,9 +278,9 @@ def integrate_blocks_pallas_planar(
     u0 = jnp.clip(jnp.min(uc, axis=1).astype(jnp.int32) - 2, 0, cam.width - 1)
     v0 = jnp.clip(jnp.min(vc, axis=1).astype(jnp.int32) - 2, 0, cam.height - 1)
     # align origins for Mosaic's sliced-load constraints (coverage preserved
-    # by the patch extents; see _PATCH_V/_PATCH_U note)
+    # by the patch extents; see _PATCH_V/_PATCH_U note) — x16 rows: bf16 tile
     u0 = (u0 // 128) * 128
-    v0 = (v0 // 8) * 8
+    v0 = (v0 // 16) * 16
 
     mask_i = mask.astype(jnp.int32)
 
@@ -267,8 +290,9 @@ def integrate_blocks_pallas_planar(
         jnp.asarray([cam.fx, cam.fy, cam.cx, cam.cy, weight_sign])
     )
     pad = ((0, _PATCH_V), (0, _PATCH_U))
-    dimg = jnp.pad(depth, pad)
-    pimg = jnp.pad(pack_color_plane(color), pad)
+    dhi, dmid, dlo = split_depth_planes(depth)
+    pr, pg, pb = color_planes(color)
+    planes = [jnp.pad(x, pad) for x in (dhi, dmid, dlo, pr, pg, pb)]
 
     kernel = functools.partial(
         _kernel,
@@ -287,8 +311,7 @@ def integrate_blocks_pallas_planar(
         grid=(b,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),  # params
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # depth
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # packed color
+            *[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(6)],  # planes
             pl.BlockSpec((1, 4, 128), bmap),
             pl.BlockSpec((1, 4, 128), bmap),
             pl.BlockSpec((1, 12, 128), bmap),
@@ -307,11 +330,11 @@ def integrate_blocks_pallas_planar(
             jax.ShapeDtypeStruct(w_r.shape, jnp.float32),
             jax.ShapeDtypeStruct(col_r.shape, jnp.float32),
         ],
-        input_output_aliases={10: 0, 11: 1, 12: 2},
+        input_output_aliases={14: 0, 15: 1, 16: 2},
         interpret=interpret,
     )(
         slots, coords[:, 0], coords[:, 1], coords[:, 2], mask_i, u0, v0,
-        params, dimg, pimg, sdf_r, w_r, col_r,
+        params, *planes, sdf_r, w_r, col_r,
     )
     return sdf, wgt, col
 

@@ -227,9 +227,9 @@ def _patch_window(cfg: AppConfig) -> tuple[int, int]:
     if _use_pallas(cfg):
         from .pallas_tsdf import _PATCH_U, _PATCH_V
 
-        # origin alignment (x128 cols / x8 rows) can waste up to 127/7 px,
-        # plus the 2 px origin margin
-        return _PATCH_U - 127 - 2, _PATCH_V - 7 - 2
+        # origin alignment (x128 cols / x16 rows, bf16 tile) can waste up to
+        # 127/15 px, plus the 2 px origin margin
+        return _PATCH_U - 127 - 2, _PATCH_V - 15 - 2
     return 128, 128  # XLA path: origin at the min projected pixel
 
 

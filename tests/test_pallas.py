@@ -89,3 +89,23 @@ def test_pallas_tsdf_deintegrate_exact():
     t2 = integrate_blocks_pallas(t1, slots, mask, d, c, T, seq.camera, APP, -1.0, interpret=True)
     _np.testing.assert_array_equal(_np.asarray(t2.weight), _np.asarray(table.weight))
     assert float(jnp.abs(t2.sdf).max()) < 1e-6
+
+
+def test_depth_split_planes_exact():
+    """The 3-way bf16 Dekker split must reconstruct EVERY f32 depth exactly
+    (hi+mid+lo == x bit-for-bit) — this is what keeps the kernel's native-bf16
+    MXU sampling bit-equal to the XLA path's f32 sampling."""
+    from bundlefusion_tpu.fusion.pallas_tsdf import split_depth_planes
+
+    rng = np.random.default_rng(7)
+    # adversarial mix: wire-quantized mm depths, raw f32, denormal-ish tiny,
+    # values straddling bf16 rounding boundaries
+    mm = rng.integers(0, 65536, size=4096).astype(np.float32) * np.float32(1e-3)
+    raw = rng.uniform(0.0, 12.0, size=4096).astype(np.float32)
+    edge = (np.float32(1.0) + np.float32(2.0) ** -16) * rng.uniform(
+        0.25, 8.0, size=4096
+    ).astype(np.float32)
+    x = jnp.asarray(np.concatenate([mm, raw, edge, [0.0, 65.535]]).reshape(-1, 2))
+    hi, mid, lo = split_depth_planes(x)
+    rec = (hi.astype(jnp.float32) + mid.astype(jnp.float32)) + lo.astype(jnp.float32)
+    np.testing.assert_array_equal(np.asarray(rec), np.asarray(x))
