@@ -11,13 +11,16 @@ a fixed-capacity block pool with a *sorted key index* indirected from the data:
     (`searchsorted` + gather), O(log C) with static shapes.
   * ``slot_of`` [C] int32 — the data slot behind each sorted index entry (a
     permutation of [0, C)); ``key_of_slot`` [C] is the reverse map.
-  * ``sdf/weight`` [C, 512] and ``color`` [C, 3, 512] — plain dense arrays
+  * ``sdf/weight`` [C, 512] and ``color`` [C, 1536] — plain dense arrays
     addressed by data slot, stored in the Pallas kernels' PLANAR layout
-    (flat voxel index v = z*64 + y*8 + x; color channel-major). Keeping the
-    canonical layout planar makes the kernel views pure bitcast reshapes —
-    the earlier [C,8,8,8,3] canonical form forced a whole-pool transpose per
-    fuse call whose XLA copy materialized with a 16x-padded tiled layout
-    (25.8 GB at 512^3-equivalent capacity: an OOM, not just waste).
+    (flat voxel index v = z*64 + y*8 + x; color channel-major, element
+    ch*512 + v). Keeping the canonical layout planar makes the kernel views
+    pure bitcast reshapes — the earlier [C,8,8,8,3] canonical form forced a
+    whole-pool transpose per fuse call whose XLA copy materialized with a
+    16x-padded tiled layout (25.8 GB at 512^3-equivalent capacity: an OOM,
+    not just waste). Color is FLAT [C, 3*512], not [C, 3, 512]: a size-3
+    sublane dim tiles to 8 on TPU (2.67x padded HBM + bandwidth on every
+    color gather/scatter); the flat minor dim tiles without padding.
     **Block data never moves**: allocation/GC re-sort only the tiny
     [C] index pair, assigning data slots from the free tail — the voxel pool
     (hundreds of MB) is untouched, unlike a sort-the-pool design that would
@@ -59,7 +62,8 @@ class BlockTable(NamedTuple):
     key_of_slot: jax.Array  # [C] int32 packed coord per data slot (INVALID = free)
     sdf: jax.Array  # [C+1, 512] float32 truncated signed distance (meters)
     weight: jax.Array  # [C+1, 512] float32 integration weight (0 = unobserved)
-    color: jax.Array  # [C+1, 3, 512] float32 weight-scaled color accumulator
+    color: jax.Array  # [C+1, 3*512] float32 weight-scaled color accumulator
+    # (channel-major: element ch*512 + v; flat to avoid sublane tile padding)
 
     @property
     def capacity(self) -> int:
@@ -76,7 +80,7 @@ def make_table(capacity: int) -> BlockTable:
         key_of_slot=jnp.full((capacity,), INVALID_KEY, dtype=jnp.int32),
         sdf=jnp.zeros((capacity + 1, NVOX), jnp.float32),
         weight=jnp.zeros((capacity + 1, NVOX), jnp.float32),
-        color=jnp.zeros((capacity + 1, 3, NVOX), jnp.float32),
+        color=jnp.zeros((capacity + 1, 3 * NVOX), jnp.float32),
     )
 
 
@@ -278,7 +282,9 @@ def sample_trilinear(
                 v = local[..., 2] * 64 + local[..., 1] * 8 + local[..., 0]
                 s = table.sdf[slot, v]
                 w = table.weight[slot, v]
-                c = jnp.stack([table.color[slot, ch, v] for ch in range(3)], axis=-1)
+                c = jnp.stack(
+                    [table.color[slot, ch * NVOX + v] for ch in range(3)], axis=-1
+                )
                 ok = found & (w > 0.0)
                 tw = (
                     jnp.where(dx == 1, f[..., 0], 1 - f[..., 0])

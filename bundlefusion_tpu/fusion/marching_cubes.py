@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import AppConfig
-from .blocks import BLOCK, INVALID_KEY, BlockTable, lookup, pack_key, unpack_key
+from .blocks import BLOCK, INVALID_KEY, NVOX, BlockTable, lookup, pack_key, unpack_key
 
 # --- the 6-tetrahedron decomposition of a cube (vertex indices 0..7, where
 # vertex v has offsets ((v>>0)&1, (v>>1)&1, (v>>2)&1) in (x, y, z)) ---
@@ -90,7 +90,7 @@ def _corner_sdf_for_blocks(table: BlockTable, slots: jax.Array, voxel_size: floa
     v = lz * 64 + ly * 8 + lx
     sdf = table.sdf[slot, v]
     wgt = table.weight[slot, v]
-    col = jnp.stack([table.color[slot, ch, v] for ch in range(3)], axis=-1)
+    col = jnp.stack([table.color[slot, ch * NVOX + v] for ch in range(3)], axis=-1)
     ok = found & (wgt > 0)
     sdf = jnp.where(ok, sdf, jnp.inf)
     col = jnp.where(ok[..., None], col / jnp.maximum(wgt, 1e-9)[..., None], 0.0)

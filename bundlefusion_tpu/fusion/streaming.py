@@ -66,7 +66,7 @@ class HostBlockStore:
         self._keys = np.zeros((0,), np.int32)
         self._sdf = np.zeros((0, NVOX), np.float32)
         self._wgt = np.zeros((0, NVOX), np.float32)
-        self._col = np.zeros((0, 3, NVOX), np.float32)
+        self._col = np.zeros((0, 3 * NVOX), np.float32)
         self._free: list[int] = []
         self._chunks: dict[int, list[int]] = {}  # chunk key -> live row list
 
@@ -91,7 +91,7 @@ class HostBlockStore:
         self._keys = ext(self._keys, ())
         self._sdf = ext(self._sdf, (NVOX,))
         self._wgt = ext(self._wgt, (NVOX,))
-        self._col = ext(self._col, (3, NVOX))
+        self._col = ext(self._col, (3 * NVOX,))
         self._free.extend(range(self._cap, new_cap))
         self._cap = new_cap
 
@@ -161,7 +161,7 @@ class HostBlockStore:
                 z,
                 np.zeros((0, NVOX), np.float32),
                 np.zeros((0, NVOX), np.float32),
-                np.zeros((0, 3, NVOX), np.float32),
+                np.zeros((0, 3 * NVOX), np.float32),
             )
         r = np.asarray(rows, np.int64)
         out = (

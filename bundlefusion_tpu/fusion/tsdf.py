@@ -199,7 +199,8 @@ def _integrate_blocks(
     #   S = sum w_i * sdf_i ; W = sum w_i ; value = S / W
     old_w = table.weight[slots]  # [B, 512]
     old_sdf = table.sdf[slots]
-    old_col = table.color[slots]  # [B, 3, 512]
+    # flat channel-major pool row -> [B, 3, 512] view for the update math
+    old_col = table.color[slots].reshape(-1, 3, sdf_new.shape[-1])
     new_w = old_w + dw
     # color is stored as the weighted *accumulator* so de-integration is exact
     num = old_sdf * old_w + sdf_new * dw
@@ -213,7 +214,11 @@ def _integrate_blocks(
     return table._replace(
         sdf=table.sdf.at[slots].set(jnp.where(mask[:, None], upd_sdf, table.sdf[slots])),
         weight=table.weight.at[slots].set(jnp.where(mask[:, None], upd_w, table.weight[slots])),
-        color=table.color.at[slots].set(jnp.where(mask[:, None, None], upd_col, table.color[slots])),
+        color=table.color.at[slots].set(
+            jnp.where(mask[:, None, None], upd_col, old_col).reshape(
+                old_col.shape[0], -1
+            )
+        ),
     )
 
 

@@ -305,7 +305,10 @@ def _make_sphere_table(radius=0.3, center=(0.0, 0.0, 0.0), voxel=0.02):
     table = table._replace(
         sdf=jnp.where(w > 0, jnp.clip(sdf, -0.06, 0.06), 0.0),
         weight=w,
-        color=jnp.asarray([1.0, 0.5, 0.2])[None, :, None] * w[:, None, :],
+        # pool color is flat channel-major [C+1, 3*512]
+        color=(jnp.asarray([1.0, 0.5, 0.2])[None, :, None] * w[:, None, :]).reshape(
+            w.shape[0], -1
+        ),
     )
     return table, cfg
 
