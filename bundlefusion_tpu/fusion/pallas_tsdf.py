@@ -147,7 +147,17 @@ def _kernel(
 
         def sample(img_ref):
             patch = img_ref[pl.ds(v0a, _PATCH_V), pl.ds(u0a, _PATCH_U)]  # [Pv, Pu] bf16
-            tmp = jnp.dot(oh_v, patch, preferred_element_type=jnp.float32)  # [512, Pu]
+            # precision must be DEFAULT explicitly: the package-wide
+            # jax_default_matmul_precision=float32 would request
+            # contract_precision<fp32> on bf16 operands, which real Mosaic
+            # rejects ("Bad lhs type"); DEFAULT = one native bf16 MXU pass,
+            # still exact because the one-hot contraction only adds zeros.
+            tmp = jnp.dot(
+                oh_v,
+                patch,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
+            )  # [512, Pu]
             return jnp.sum(tmp * oh_u, axis=1, keepdims=True)  # [512, 1]
 
         # exact f32 depth from the 3-way bf16 split: hi+mid fits 17 mantissa
