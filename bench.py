@@ -99,10 +99,12 @@ def main() -> None:
     del bf_warm
     progress(f"warm pass done in {dt_warm:.1f}s; timed passes begin")
 
-    # passes 2/3: fresh pipelines, all executables warm — report the best
-    # (the TPU tunnel's latency varies run to run; best-of-2 damps that noise)
+    # timed passes: fresh pipelines, all executables warm — report the best
+    # (the TPU tunnel's latency/bandwidth oscillates on a timescale of
+    # minutes; best-of-N damps that noise)
+    n_passes = int(os.environ.get("BENCH_PASSES", 3))
     fps, elapsed, bf = 0.0, float("inf"), None
-    for p in range(2):
+    for p in range(n_passes):
         bf_p, dt = run_pass(profile=False)
         progress(f"timed pass {p}: {num_frames / dt:.2f} fps")
         if num_frames / dt > fps:

@@ -476,7 +476,12 @@ class BundleFusion:
         # real chunk's record
         self._runlog_dev = jnp.zeros((self.max_chunks + 1, RUNREC_WIDTH), jnp.float32)
 
-        self._pending: list[tuple[jax.Array, jax.Array]] = []  # device (d16, c8)
+        # host wire frames awaiting a full chunk. Frames upload once per
+        # chunk as ONE batched transfer: the tunnel's per-transfer latency
+        # (~17 ms measured for a frame's two small arrays) dwarfs its
+        # bandwidth cost, so 2 chunk-sized transfers beat 2xS frame-sized
+        # ones by ~10x.
+        self._pending: list[tuple[np.ndarray, ...]] = []  # host (d16, c8, d16i, c8i)
         self._bp_tokens: list = []  # backpressure: block on chunk c-2's output
         self._finalized = False
         self._reloc_seen = 0
@@ -502,8 +507,9 @@ class BundleFusion:
         """Feed one frame; chunks are processed as soon as complete.
 
         Frames convert to the sensor wire format on the host — uint16 depth in
-        mm, uint8 color, quartering host->device traffic — then upload
-        asynchronously; the device programs do all dequantization. Conversion
+        mm, uint8 color, quartering host->device traffic — and upload once per
+        chunk as one batched transfer (per-transfer tunnel latency dominates
+        frame-sized uploads); the device programs do all dequantization. Conversion
         (and the optional wire-level bilateral) runs in native C++ when the
         toolchain built ``native/framewire.cpp`` (numpy fallback otherwise).
         """
@@ -524,12 +530,7 @@ class BundleFusion:
         self._next_fid += 1
         # FrameStore + ring hold INTEGRATION-res wire (what fusion consumes)
         self._frame_store[fid] = (d16i, c8i)
-        d_dev, c_dev = jnp.asarray(d16), jnp.asarray(c8)
-        if d16i is d16:
-            di_dev, ci_dev = d_dev, c_dev  # same buffers: no extra upload
-        else:
-            di_dev, ci_dev = jnp.asarray(d16i), jnp.asarray(c8i)
-        self._pending.append((d_dev, c_dev, di_dev, ci_dev))
+        self._pending.append((d16, c8, d16i, c8i))
         self._maybe_process_chunk()
 
     def push_batch(self, depth: np.ndarray, color: np.ndarray, valid=None) -> None:
@@ -548,13 +549,15 @@ class BundleFusion:
             take = self._pending[: self.chunk_frames]
             if len(take) < self.chunk_frames:
                 return
-            d16 = jnp.stack([t[0] for t in take])
-            c8 = jnp.stack([t[1] for t in take])
+            # one batched host->device transfer per array (tunnel latency
+            # amortized over the chunk); host stack is ~5 ms/chunk
+            d16 = jnp.asarray(np.stack([t[0] for t in take]))
+            c8 = jnp.asarray(np.stack([t[1] for t in take]))
             if take[0][2] is take[0][0]:
                 d16i, c8i = d16, c8
             else:
-                d16i = jnp.stack([t[2] for t in take])
-                c8i = jnp.stack([t[3] for t in take])
+                d16i = jnp.asarray(np.stack([t[2] for t in take]))
+                c8i = jnp.asarray(np.stack([t[3] for t in take]))
             self._process_chunk(d16, c8, d16i, c8i)
             # drop consumed frames, keep the overlap frame
             self._pending = self._pending[self.S :]
@@ -949,12 +952,12 @@ class BundleFusion:
         `_pending` always starts with the overlap frame (already processed),
         so >= 2 pending means there is at least one genuinely new frame."""
         if 2 <= len(self._pending) < self.chunk_frames:
-            last_dev = self._pending[-1]
+            last = self._pending[-1]
             last_host = self._frame_store[self._next_fid - 1]
             while len(self._pending) < self.chunk_frames:
                 self._frame_store[self._next_fid] = last_host
                 self._next_fid += 1
-                self._pending.append(last_dev)
+                self._pending.append(last)
             self._maybe_process_chunk()
 
     def finalize(self) -> None:
