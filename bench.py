@@ -103,8 +103,14 @@ def main() -> None:
     # (the TPU tunnel's latency/bandwidth oscillates on a timescale of
     # minutes; best-of-N damps that noise)
     n_passes = int(os.environ.get("BENCH_PASSES", 3))
+    gap_s = float(os.environ.get("BENCH_GAP_S", 45))
     fps, elapsed, bf = 0.0, float("inf"), None
     for p in range(n_passes):
+        if p:
+            # the tunnel's weather oscillates on a minutes timescale; passes
+            # run in ~3 s, so back-to-back passes sample the SAME weather.
+            # Spacing them out makes best-of-N actually sample N windows.
+            time.sleep(gap_s)
         bf_p, dt = run_pass(profile=False)
         progress(f"timed pass {p}: {num_frames / dt:.2f} fps")
         if num_frames / dt > fps:
