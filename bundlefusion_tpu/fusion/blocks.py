@@ -140,6 +140,19 @@ def dedup_keys(keys: jax.Array, out_capacity: int) -> jax.Array:
     return dedup_keys_counted(keys, out_capacity)[0]
 
 
+def compact_sorted(
+    vals: jax.Array, keep: jax.Array, out_capacity: int
+) -> jax.Array:
+    """Stable-compact `vals[keep]` (already in final order) to
+    [out_capacity], INVALID_KEY-padded — a cumsum+scatter instead of a second
+    full sort (the old compaction re-sorted the whole array just to push
+    INVALIDs to the tail)."""
+    pos = jnp.cumsum(keep) - 1  # destination of each kept element
+    pos = jnp.where(keep & (pos < out_capacity), pos, out_capacity)
+    out = jnp.full((out_capacity + 1,), INVALID_KEY, vals.dtype)
+    return out.at[pos].set(vals, mode="drop")[:out_capacity]
+
+
 def dedup_keys_counted(
     keys: jax.Array, out_capacity: int
 ) -> tuple[jax.Array, jax.Array]:
@@ -150,11 +163,9 @@ def dedup_keys_counted(
     s = jnp.sort(keys)
     first = jnp.concatenate([jnp.array([True]), s[1:] != s[:-1]])
     valid_first = first & (s != INVALID_KEY)
-    uniq = jnp.where(valid_first, s, INVALID_KEY)
     n_uniq = jnp.sum(valid_first).astype(jnp.int32)
     truncated = jnp.maximum(n_uniq - out_capacity, 0)
-    # compact: unique keys are already sorted; push INVALIDs to the end
-    return jnp.sort(uniq)[:out_capacity], truncated
+    return compact_sorted(s, valid_first, out_capacity), truncated
 
 
 def allocate(table: BlockTable, new_keys: jax.Array) -> tuple[BlockTable, jax.Array]:
@@ -192,13 +203,40 @@ def allocate(table: BlockTable, new_keys: jax.Array) -> tuple[BlockTable, jax.Ar
     color = table.color.at[zslots].set(0.0)
     key_of_slot = table.key_of_slot.at[zslots].set(cand)
 
-    # merge the sorted index (stable sort keeps old entries first on the
-    # INVALID tail, so kept INVALIDs are exactly the unassigned free slots)
-    all_keys = jnp.concatenate([table.keys, cand])
-    all_slots = jnp.concatenate([table.slot_of, assigned])
-    order = jnp.argsort(all_keys, stable=True)
-    new_keys_sorted = all_keys[order][:cap]
-    new_slot_of = all_slots[order][:cap]
+    # merge the sorted index WITHOUT a full argsort (which cost ~30 ms at
+    # 262k capacity): both lists are sorted, so each element's output
+    # position is its own rank plus the count of smaller elements in the
+    # other list (one searchsorted each), then two scatters. Entries pushed
+    # past `cap` (the free-tail slots consumed by new keys, and INVALID
+    # padding) drop out of the scatter.
+    nb = jnp.sum(can_host).astype(jnp.int32)
+    pos_c = jnp.where(can_host, rank, cand.shape[0])
+    cand_c = (
+        jnp.full((cand.shape[0] + 1,), INVALID_KEY, jnp.int32)
+        .at[pos_c].set(cand, mode="drop")[:-1]
+    )  # compacted sorted new keys (INVALID tail)
+    slot_c = (
+        jnp.zeros((cand.shape[0] + 1,), jnp.int32)
+        .at[pos_c].set(assigned, mode="drop")[:-1]
+    )
+    pos_a = jnp.arange(cap, dtype=jnp.int32) + jnp.searchsorted(
+        cand_c, table.keys, side="left"
+    ).astype(jnp.int32)
+    pos_b = jnp.arange(cand_c.shape[0], dtype=jnp.int32) + jnp.searchsorted(
+        table.keys, cand_c, side="left"
+    ).astype(jnp.int32)
+    pos_b = jnp.where(cand_c != INVALID_KEY, pos_b, cap)  # INVALIDs: na+j < cap
+    del nb
+    new_keys_sorted = (
+        jnp.full((cap,), INVALID_KEY, jnp.int32)
+        .at[pos_a].set(table.keys, mode="drop")
+        .at[pos_b].set(cand_c, mode="drop")
+    )
+    new_slot_of = (
+        jnp.zeros((cap,), jnp.int32)
+        .at[pos_a].set(table.slot_of, mode="drop")
+        .at[pos_b].set(slot_c, mode="drop")
+    )
 
     return (
         BlockTable(

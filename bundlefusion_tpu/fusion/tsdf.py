@@ -368,14 +368,15 @@ def _upd_keys_batch(
 def _union_counted(upd_keys: jax.Array, union_cap: int) -> tuple[jax.Array, jax.Array]:
     """Compact the union of per-row key lists to [union_cap]; also count the
     unique keys DROPPED by the cap (silent under-allocation otherwise)."""
+    from .blocks import compact_sorted
+
     flat = upd_keys.reshape(-1)
     s = jnp.sort(flat)
     first = jnp.concatenate([jnp.array([True]), s[1:] != s[:-1]])
     valid_first = first & (s != INVALID_KEY)
     n_uniq = jnp.sum(valid_first).astype(jnp.int32)
     overflow = jnp.maximum(0, n_uniq - union_cap)
-    union = jnp.sort(jnp.where(valid_first, s, INVALID_KEY))[:union_cap]
-    return union, overflow
+    return compact_sorted(s, valid_first, union_cap), overflow
 
 
 def _fuse_rows_scan(
