@@ -117,6 +117,10 @@ def main() -> None:
             # keep the winning pass's pipeline so ATE and the per-second
             # rates below are computed from the same pass as the headline
             fps, elapsed, bf = num_frames / dt, dt, bf_p
+        # free the losing pipeline immediately: each one holds a full-capacity
+        # voxel table (~2.6 GB at 512^3-equivalent), and three live pipelines
+        # (winner + previous loser + the one under construction) exhaust HBM
+        del bf_p
 
     # ---- timing is over; readbacks are free to happen now ----
     out = bf.outputs()  # finalize: recovery sweeps + runlog emit

@@ -31,6 +31,7 @@ def save_checkpoint(bf: BundleFusion, path: str) -> None:
         "hist_c8": np.asarray(bf._hist_c8),
         "ring_frame": np.asarray(bf._ring_frame),
         "upd_masks": np.asarray(bf._upd_masks),
+        "upd_keys": np.asarray(bf._upd_keys),
         "local_traj_dev": np.asarray(bf._local_traj_dev),
         "chunk_valid_dev": np.asarray(bf._chunk_valid_dev),
         "runlog_dev": np.asarray(bf._runlog_dev),
@@ -83,6 +84,8 @@ def load_checkpoint(path: str) -> BundleFusion:
     bf._hist_c8 = jnp.asarray(dev["hist_c8"])
     bf._ring_frame = jnp.asarray(dev["ring_frame"])
     bf._upd_masks = jnp.asarray(dev["upd_masks"])
+    if "upd_keys" in dev:
+        bf._upd_keys = jnp.asarray(dev["upd_keys"])
     bf._local_traj_dev = jnp.asarray(dev["local_traj_dev"])
     bf._chunk_valid_dev = jnp.asarray(dev["chunk_valid_dev"])
     bf._runlog_dev = jnp.asarray(dev["runlog_dev"])

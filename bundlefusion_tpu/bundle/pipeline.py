@@ -221,12 +221,16 @@ def _publish_all(
 @functools.partial(
     jax.jit,
     static_argnames=("cam", "cfg", "budget"),
-    donate_argnums=(0, 1, 2, 3, 4, 5, 6),
+    donate_argnums=(0, 1, 2, 3, 4, 5, 6, 7),
 )
 def _plan_and_fuse(
     table,
     traj: trajectory.TrajectoryState,
     upd_masks: jax.Array,  # [F, cap] bool — per-frame recorded update masks
+    upd_keys: jax.Array,  # [F, cap] int32 — per-frame recorded update-key
+    # lists (what each frame's last integration used); lets de-integration
+    # skip recomputing + re-sorting its key lists (pure function of
+    # (depth, pose), so the record is bit-identical to recomputation)
     hist_d16: jax.Array,  # [R, H, W] uint16 depth (mm, wire format)
     hist_c8: jax.Array,  # [R, H, W, 3] uint8 color
     ring_frame: jax.Array,  # [R] int32 — frame id resident in each ring slot
@@ -303,7 +307,7 @@ def _plan_and_fuse(
     new_poses = traj.opt_pose[frames]
     table, diag = tsdf.fuse_batch(
         table, depth, color, old_poses, new_poses, deint, reint,
-        upd_masks[frames], cam, cfg,
+        upd_masks[frames], cam, cfg, upd_keys_rec=upd_keys[frames],
     )
     sentinel = traj.opt_pose.shape[0]  # out-of-range scatter ids are dropped
     deint_ids = jnp.where(deint, frames, sentinel)
@@ -320,6 +324,7 @@ def _plan_and_fuse(
         jnp.sum(upd_masks[frames] & deint[:, None]) + jnp.sum(diag.upd_mask)
     ).astype(jnp.float32)
     upd_masks = upd_masks.at[reint_ids].set(diag.upd_mask)
+    upd_keys = upd_keys.at[reint_ids].set(diag.upd_keys)
     blocks_updated = blocks_updated + blocks_touched
 
     # 5. diagnostics row (fetched once at finalize); stats_in[8] carries the
@@ -345,8 +350,8 @@ def _plan_and_fuse(
     )
     runlog_dev = runlog_dev.at[chunk_idx].set(row)
     return (
-        table, traj, upd_masks, hist_d16, hist_c8, ring_frame, runlog_dev,
-        blocks_updated,
+        table, traj, upd_masks, upd_keys, hist_d16, hist_c8, ring_frame,
+        runlog_dev, blocks_updated,
     )
 
 
@@ -464,6 +469,13 @@ class BundleFusion:
         # for exact de-integration under allocation overflow (tsdf.FuseDiag)
         self._upd_masks = jnp.zeros(
             (bc.max_frames, ac.blocks_per_frame_cap), bool
+        )
+        # per-frame update-key lists recorded at integrate time: the NEXT
+        # de-integration of a frame reuses them instead of recomputing (and
+        # re-sorting) — bit-identical, half the fuse step's key-sort work
+        self._upd_keys = jnp.full(
+            (bc.max_frames, ac.blocks_per_frame_cap), int(blocks.INVALID_KEY),
+            jnp.int32,
         )
         # device-side fixed-capacity local-trajectory store: growing shapes
         # would recompile the publish program every chunk
@@ -672,6 +684,7 @@ class BundleFusion:
                 self.table,
                 self.traj,
                 self._upd_masks,
+                self._upd_keys,
                 self._hist_d16,
                 self._hist_c8,
                 self._ring_frame,
@@ -681,6 +694,7 @@ class BundleFusion:
                 self.table,
                 self.traj,
                 self._upd_masks,
+                self._upd_keys,
                 self._hist_d16,
                 self._hist_c8,
                 self._ring_frame,
@@ -916,6 +930,7 @@ class BundleFusion:
                 self.table,
                 self.traj,
                 self._upd_masks,
+                self._upd_keys,
                 self._hist_d16,
                 self._hist_c8,
                 self._ring_frame,
@@ -925,6 +940,7 @@ class BundleFusion:
                 self.table,
                 self.traj,
                 self._upd_masks,
+                self._upd_keys,
                 self._hist_d16,
                 self._hist_c8,
                 self._ring_frame,

@@ -59,6 +59,9 @@ class FuseDiag(NamedTuple):
     # exceeded the sampling patch window (their out-of-window voxels were
     # skipped; happens for blocks very close to the camera)
     upd_mask: jax.Array  # [cap] (or [B, cap]) bool — rows actually updated
+    upd_keys: jax.Array | None = None  # [B, cap] int32 — the update-key lists
+    # the integration used; recording them lets the NEXT de-integration of
+    # these frames skip recomputing (and re-sorting) the lists
 
 
 def frame_alloc_keys(
@@ -488,6 +491,7 @@ def integrate_batch(
         upd_truncated=jnp.sum(f_truncs).astype(jnp.int32),
         patch_overflow=jnp.sum(p_ovfs).astype(jnp.int32),
         upd_mask=upd_masks,
+        upd_keys=upd_keys_all,
     )
 
 
@@ -550,6 +554,10 @@ def fuse_batch(
     upd_masks_rec: jax.Array,  # [B, cap] recorded update masks for the deints
     cam: CameraModel,
     cfg: AppConfig,
+    upd_keys_rec: jax.Array | None = None,  # [B, cap] recorded update-key
+    # lists for the deints (FuseDiag.upd_keys from integrate time). The list
+    # is a pure function of (depth, pose), so the record is bit-identical to
+    # recomputation — passing it halves the dominant per-row key-sort work.
 ) -> tuple[BlockTable, FuseDiag]:
     """De-integrate + (re-)integrate a frame batch in ONE device program: one
     allocation merge, one kernel scan over 2B rows (all de-integrations first,
@@ -561,13 +569,17 @@ def fuse_batch(
     record (all-False rows for frames not re-integrated)."""
     b = depths.shape[0]
     cap = cfg.blocks_per_frame_cap
-    d2 = jnp.concatenate([depths, depths])
-    poses2 = jnp.concatenate([old_poses, new_poses])
-    act2 = jnp.concatenate([deint_mask, reint_mask])
-    keys2, trunc2 = _upd_keys_batch(d2, poses2, act2, cam, cfg)
-    union, union_overflow = _union_counted(keys2[b:], cap * 4)
+    reint_keys, trunc_r = _upd_keys_batch(depths, new_poses, reint_mask, cam, cfg)
+    if upd_keys_rec is None:
+        deint_keys, _ = _upd_keys_batch(depths, old_poses, deint_mask, cam, cfg)
+    else:
+        deint_keys = jnp.where(deint_mask[:, None], upd_keys_rec, INVALID_KEY)
+    keys2 = jnp.concatenate([deint_keys, reint_keys])
+    union, union_overflow = _union_counted(reint_keys, cap * 4)
     table, overflow = allocate(table, union)
+    act2 = jnp.concatenate([deint_mask, reint_mask])
     fidx2 = jnp.concatenate([jnp.arange(b), jnp.arange(b)]).astype(jnp.int32)
+    poses2 = jnp.concatenate([old_poses, new_poses])
     rec2 = jnp.concatenate([upd_masks_rec, jnp.ones((b, cap), bool)])
     sign2 = jnp.concatenate(
         [-jnp.ones(b, jnp.float32), jnp.ones(b, jnp.float32)]
@@ -577,7 +589,8 @@ def fuse_batch(
     )
     return table, FuseDiag(
         overflow=overflow + union_overflow,
-        upd_truncated=jnp.sum(trunc2[b:]).astype(jnp.int32),
+        upd_truncated=jnp.sum(trunc_r).astype(jnp.int32),
         patch_overflow=jnp.sum(povf2[b:]).astype(jnp.int32),
         upd_mask=masks2[b:],
+        upd_keys=reint_keys,
     )

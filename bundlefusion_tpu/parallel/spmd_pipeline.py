@@ -107,6 +107,10 @@ def run_sequences_sharded(
     trajs = stack([trajectory.make_trajectory(bc.max_frames)] * d)
     ctrls = stack([make_ctrl()] * d)
     upd_masks = jnp.zeros((d, bc.max_frames, ac.blocks_per_frame_cap), bool)
+    upd_keys = jnp.full(
+        (d, bc.max_frames, ac.blocks_per_frame_cap), int(blocks.INVALID_KEY),
+        jnp.int32,
+    )
     ring_cap = min(bc.max_frames, ac.history_ring_frames)
     hist_d16 = jnp.zeros((d, ring_cap, h, w), jnp.uint16)
     hist_c8 = jnp.zeros((d, ring_cap, h, w, 3), jnp.uint8)
@@ -152,9 +156,9 @@ def run_sequences_sharded(
     )
     pf_fn = _shard1(
         mesh,
-        lambda tab, tr, um, hd, hc, rf, rl, ci, si, dn, cn, ni, nv, im, ex, gf, bu: (
+        lambda tab, tr, um, uk, hd, hc, rf, rl, ci, si, dn, cn, ni, nv, im, ex, gf, bu: (
             _plan_and_fuse(
-                tab, tr, um, hd, hc, rf, rl, ci, si, dn, cn, ni, nv, im, ex,
+                tab, tr, um, uk, hd, hc, rf, rl, ci, si, dn, cn, ni, nv, im, ex,
                 gf, bu, cam, ac, budget,
             )
         ),
@@ -209,10 +213,10 @@ def run_sequences_sharded(
         new_valid = np.ones(chunk_frames, bool)
         new_valid[:lo] = False
         (
-            tables, trajs, upd_masks, hist_d16, hist_c8, ring_frame,
+            tables, trajs, upd_masks, upd_keys, hist_d16, hist_c8, ring_frame,
             runlog_dev, blocks_updated,
         ) = pf_fn(
-            tables, trajs, upd_masks, hist_d16, hist_c8, ring_frame,
+            tables, trajs, upd_masks, upd_keys, hist_d16, hist_c8, ring_frame,
             runlog_dev, k_vec, stats_in, dep, col,
             jnp.broadcast_to(jnp.asarray(new_ids), (d, chunk_frames)),
             jnp.broadcast_to(jnp.asarray(new_valid), (d, chunk_frames)),
