@@ -11,10 +11,36 @@ block (slot[i-1]) computes; outputs alias the inputs (in-place pool update).
 Depth/color sampling inside the kernel uses the same one-hot-matmul-in-a-patch
 trick as the XLA path: a dynamic VMEM slice of the (padded) image and one MXU
 contraction per plane replace per-voxel random gathers, which Mosaic does not
-vectorize. Layout notes: Mosaic wants plain 2D vectors — all per-voxel
-quantities live as [512, 1] columns, block data is pre-reshaped to
-[C, 512, 1] outside the kernel, and image channels arrive as separate 2D
-planes (3D->2D slicing is an unsupported shape cast).
+vectorize.
+
+Layout notes (the lane-major rewrite, round 4): all per-voxel quantities live
+as [1, 512] lane vectors — full-lane VPU ops (the original [512, 1] column
+layout used 1/128 of each vector register). The one-hot contraction is
+oriented so the MXU consumes voxels along lanes: ``patch[Pv,Pu] @
+oh_u[Pu,512] -> [Pv,512]``, then an ``oh_v``-masked sublane reduction picks
+the row — one matmul + one VPU reduce per plane. The pool read-modify-write
+runs on 128-lane slices of the [1, 512] vectors against the block's native
+[4, 128] tile rows.
+
+Two-way sampling window: most blocks project to a small footprint (<= ~45 px
+span at 640x480 / 1 cm voxels), so the kernel carries a small 64x128 window
+variant (1/8 the MXU work of the 128x256 window) selected per block by the
+same corner-AABB test the wrapper uses for patch-overflow counting. The
+selection is exact: the small window is only taken when EVERY voxel's
+nearest-pixel index provably lands inside it, so results are bit-identical
+to the single-window kernel (A/B checked on hardware; BF_TSDF_FORCE_BIG=1
+disables the small window for re-checking).
+
+Cross-path (Pallas vs XLA) equality note: both paths compute nearest-pixel
+as floor(u + 0.5) on identically-ordered f32 projection math, and sampling
+is exact on both, so they agree bit-for-bit in practice (interpret-mode
+equivalence is asserted in tests). On hardware, Mosaic and XLA:TPU may still
+schedule the f32 projection arithmetic with different fusion/rounding, so a
+voxel whose projection sits within 1 ulp of a pixel-index or truncation
+boundary can flip between the paths (measured: ~8 voxels per million before
+the rounding alignment, 0 after). The product never mixes paths within a
+run — integrate and de-integrate dispatch the SAME kernel (tsdf
+_integrate_blocks_dispatch), so exact de-integration is unaffected.
 
 Sampling runs on NATIVE bf16 MXU passes and stays BIT-EXACT: a one-hot
 contraction only ever adds zeros to the selected element, so exactness needs
@@ -30,6 +56,7 @@ against the XLA path, `tests/test_pallas.py`).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -41,11 +68,16 @@ from ..geometry import se3
 from ..geometry.camera import CameraModel
 from .blocks import BLOCK, BlockTable
 
-# patch rows (sublane-aligned origin, x16 — bf16 tile) and cols (lane-aligned
-# origin, x128). the wider column extent guarantees any <=~104 px projected
-# window still fits after its origin is quantized down.
+# big patch rows (sublane-aligned origin, x16 — bf16 tile) and cols
+# (lane-aligned origin, x128). the wider column extent guarantees any
+# <=~104 px projected window still fits after its origin is quantized down.
 _PATCH_V = 128
 _PATCH_U = 256
+# small window (the common case: distant / small-footprint blocks). Chosen so
+# a block fits whenever its aligned-origin span is < (112, 48) px — ~85% of
+# blocks in the flagship scene — at 1/8 the big window's MXU sampling work.
+_SMALL_V = 64
+_SMALL_U = 128
 _NVOX = BLOCK**3
 
 
@@ -59,6 +91,7 @@ def _kernel(
     msk_ref,
     u0_ref,
     v0_ref,
+    sml_ref,  # [B] 1 -> the small sampling window provably covers the block
     # inputs
     pose_ref,  # [1, 128] f32: w2c row-major (12) + intrinsics + sign
     dhi_ref,  # [Hp, Wp] bf16 depth split hi (hi+mid+lo == f32 depth, exact)
@@ -85,12 +118,8 @@ def _kernel(
     height: int,
 ):
     i = pl.program_id(0)
-    bx = bx_ref[i].astype(jnp.float32)
-    by = by_ref[i].astype(jnp.float32)
-    bz = bz_ref[i].astype(jnp.float32)
     active = msk_ref[i] > 0
-    u0 = u0_ref[i]
-    v0 = v0_ref[i]
+    small = sml_ref[i] > 0
 
     # masked grid rows (padding / overflow-dropped blocks) skip ALL compute —
     # at small frame resolutions the live update set is well under the static
@@ -108,9 +137,15 @@ def _kernel(
         p = pose_ref  # [1, 128]
         fx, fy, pcx, pcy = p[0, 12], p[0, 13], p[0, 14], p[0, 15]
         sign = p[0, 16]
+        bx = bx_ref[i].astype(jnp.float32)
+        by = by_ref[i].astype(jnp.float32)
+        bz = bz_ref[i].astype(jnp.float32)
+        u0 = u0_ref[i]
+        v0 = v0_ref[i]
 
-        # voxel centers in world space; per-voxel columns [512, 1]
-        lin = jax.lax.broadcasted_iota(jnp.int32, (_NVOX, 1), 0)
+        # voxel centers in world space; per-voxel quantities live lane-major
+        # [1, 512] — every VPU op below runs at full lane occupancy
+        lin = jax.lax.broadcasted_iota(jnp.int32, (1, _NVOX), 1)
         lx = (lin % BLOCK).astype(jnp.float32)
         ly = ((lin // BLOCK) % BLOCK).astype(jnp.float32)
         lz = (lin // (BLOCK * BLOCK)).astype(jnp.float32)
@@ -131,85 +166,85 @@ def _kernel(
         vi = jnp.clip(v + 0.5, 0, height - 1).astype(jnp.int32)
         lu = ui - u0
         lv = vi - v0
-        in_win = (lu >= 0) & (lu < _PATCH_U) & (lv >= 0) & (lv < _PATCH_V)
-        luc = jnp.clip(lu, 0, _PATCH_U - 1)
-        lvc = jnp.clip(lv, 0, _PATCH_V - 1)
-
-        grid_v = jax.lax.broadcasted_iota(jnp.int32, (_NVOX, _PATCH_V), 1)
-        grid_u = jax.lax.broadcasted_iota(jnp.int32, (_NVOX, _PATCH_U), 1)
-        # one-hot selectors are exact in bf16 (0/1) -> every sample below is a
-        # single NATIVE bf16 MXU pass, and the selected value is exact (the
-        # contraction adds only zeros)
-        oh_v = (lvc == grid_v).astype(jnp.bfloat16)  # [512, Pv]
-        oh_u = (luc == grid_u).astype(jnp.float32)  # [512, Pu]
         v0a = pl.multiple_of(v0, 16)
         u0a = pl.multiple_of(u0, 128)
 
-        def sample(img_ref):
-            patch = img_ref[pl.ds(v0a, _PATCH_V), pl.ds(u0a, _PATCH_U)]  # [Pv, Pu] bf16
-            # precision must be DEFAULT explicitly: the package-wide
-            # jax_default_matmul_precision=float32 would request
-            # contract_precision<fp32> on bf16 operands, which real Mosaic
-            # rejects ("Bad lhs type"); DEFAULT = one native bf16 MXU pass,
-            # still exact because the one-hot contraction only adds zeros.
-            tmp = jnp.dot(
-                oh_v,
-                patch,
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.DEFAULT,
-            )  # [512, Pu]
-            return jnp.sum(tmp * oh_u, axis=1, keepdims=True)  # [512, 1]
+        def variant(pv_ext, pu_ext):
+            in_win = (lu >= 0) & (lu < pu_ext) & (lv >= 0) & (lv < pv_ext)
+            luc = jnp.clip(lu, 0, pu_ext - 1)
+            lvc = jnp.clip(lv, 0, pv_ext - 1)
+            # one-hot selectors are exact in bf16 (0/1) -> every sample below
+            # is a single NATIVE bf16 MXU pass, and the selected value is
+            # exact (the contraction adds only zeros)
+            oh_u = (
+                jax.lax.broadcasted_iota(jnp.int32, (pu_ext, _NVOX), 0) == luc
+            ).astype(jnp.bfloat16)  # [Pu, 512]
+            oh_v = (
+                jax.lax.broadcasted_iota(jnp.int32, (pv_ext, _NVOX), 0) == lvc
+            ).astype(jnp.float32)  # [Pv, 512]
 
-        # exact f32 depth from the 3-way bf16 split: hi+mid fits 17 mantissa
-        # bits (representable), +lo restores the full 24 — bit-equal to the
-        # f32 image the XLA path samples
-        d = (sample(dhi_ref) + sample(dmid_ref)) + sample(dlo_ref)
-        cr = sample(cr_ref) * (1.0 / 255.0)
-        cg = sample(cg_ref) * (1.0 / 255.0)
-        cb = sample(cb_ref) * (1.0 / 255.0)
+            def sample(img_ref):
+                patch = img_ref[pl.ds(v0a, pv_ext), pl.ds(u0a, pu_ext)]
+                # precision must be DEFAULT explicitly: the package-wide
+                # jax_default_matmul_precision=float32 would request
+                # contract_precision<fp32> on bf16 operands, which real
+                # Mosaic rejects ("Bad lhs type"); DEFAULT = one native bf16
+                # MXU pass, still exact (one-hot adds only zeros).
+                tmp = jnp.dot(
+                    patch,
+                    oh_u,
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.DEFAULT,
+                )  # [Pv, 512]
+                return jnp.sum(oh_v * tmp, axis=0, keepdims=True)  # [1, 512]
 
-        trunc = trunc_base + trunc_scale * d
-        sdf_val = d - pz
-        upd_ok = (
-            active
-            & in_img
-            & in_win
-            & (d > 0)
-            & (d < max_dist)
-            & (sdf_val > -trunc)
-        )
-        sdf_new = jnp.clip(sdf_val, -trunc, trunc)
-        dw = jnp.where(upd_ok, w_sample * sign, 0.0)  # [512, 1]
+            # exact f32 depth from the 3-way bf16 split: hi+mid fits 17
+            # mantissa bits (representable), +lo restores the full 24 —
+            # bit-equal to the f32 image the XLA path samples
+            d = (sample(dhi_ref) + sample(dmid_ref)) + sample(dlo_ref)
+            cr = sample(cr_ref) * (1.0 / 255.0)
+            cg = sample(cg_ref) * (1.0 / 255.0)
+            cb = sample(cb_ref) * (1.0 / 255.0)
 
-        # move per-voxel columns into the block's native [4, 128] layout
-        # ([512, 1] -> [4, 128] is a supported relayout; the reverse is not, so
-        # the read-modify-write runs natively in [4, 128])
-        to_blk = lambda a: a.reshape(4, 128)
-        dw_b = to_blk(dw)
-        sdf_new_b = to_blk(sdf_new)
-        cr_b, cg_b, cb_b = to_blk(cr), to_blk(cg), to_blk(cb)
+            trunc = trunc_base + trunc_scale * d
+            sdf_val = d - pz
+            upd_ok = (
+                in_img & in_win & (d > 0) & (d < max_dist) & (sdf_val > -trunc)
+            )
+            sdf_new = jnp.clip(sdf_val, -trunc, trunc)
+            dw = jnp.where(upd_ok, w_sample * sign, 0.0)  # [1, 512]
 
-        old_sdf = sdf_ref[0]  # [4, 128]
-        old_w = w_ref[0]
-        ocr = col_ref[0, 0:4, :]
-        ocg = col_ref[0, 4:8, :]
-        ocb = col_ref[0, 8:12, :]
-        new_w = old_w + dw_b
-        num = old_sdf * old_w + sdf_new_b * dw_b
-        upd_sdf = jnp.where(new_w > 1e-6, num / jnp.maximum(new_w, 1e-6), 0.0)
-        new_w = jnp.clip(new_w, 0.0, max_weight)
-        keep_w = jnp.where(new_w > 1e-6, new_w, 0.0)
-        upd_sdf = jnp.where(keep_w > 0, upd_sdf, 0.0)
-        live = keep_w > 0
-        ucr = jnp.where(live, ocr + cr_b * dw_b, 0.0)
-        ucg = jnp.where(live, ocg + cg_b * dw_b, 0.0)
-        ucb = jnp.where(live, ocb + cb_b * dw_b, 0.0)
+            # read-modify-write the pool row group by group: 128-lane slices
+            # of the [1, 512] vectors against the native [4, 128] tile rows
+            for g in range(4):
+                sl = slice(128 * g, 128 * (g + 1))
+                dw_g = dw[:, sl]
+                sn_g = sdf_new[:, sl]
+                old_sdf = sdf_ref[0, g : g + 1, :]
+                old_w = w_ref[0, g : g + 1, :]
+                ocr = col_ref[0, g : g + 1, :]
+                ocg = col_ref[0, 4 + g : 5 + g, :]
+                ocb = col_ref[0, 8 + g : 9 + g, :]
+                new_w = old_w + dw_g
+                num = old_sdf * old_w + sn_g * dw_g
+                upd_sdf = jnp.where(new_w > 1e-6, num / jnp.maximum(new_w, 1e-6), 0.0)
+                new_w = jnp.clip(new_w, 0.0, max_weight)
+                keep_w = jnp.where(new_w > 1e-6, new_w, 0.0)
+                upd_sdf = jnp.where(keep_w > 0, upd_sdf, 0.0)
+                live = keep_w > 0
+                sdf_out[0, g : g + 1, :] = upd_sdf
+                w_out[0, g : g + 1, :] = keep_w
+                col_out[0, g : g + 1, :] = jnp.where(live, ocr + cr[:, sl] * dw_g, 0.0)
+                col_out[0, 4 + g : 5 + g, :] = jnp.where(live, ocg + cg[:, sl] * dw_g, 0.0)
+                col_out[0, 8 + g : 9 + g, :] = jnp.where(live, ocb + cb[:, sl] * dw_g, 0.0)
 
-        sdf_out[0] = upd_sdf
-        w_out[0] = keep_w
-        col_out[0, 0:4, :] = ucr
-        col_out[0, 4:8, :] = ucg
-        col_out[0, 8:12, :] = ucb
+        @pl.when(small)
+        def _small():
+            variant(_SMALL_V, _SMALL_U)
+
+        @pl.when(jnp.logical_not(small))
+        def _big():
+            variant(_PATCH_V, _PATCH_U)
 
 
 def pool_to_planar(table: BlockTable):
@@ -292,6 +327,17 @@ def integrate_blocks_pallas_planar(
     u0 = (u0 // 128) * 128
     v0 = (v0 // 16) * 16
 
+    # small-window fit: every voxel's nearest-pixel index ui <= umax + 0.5
+    # (ui rounds the clipped projection), so the small patch covers the block
+    # iff the clipped corner AABB's max stays 1.5 px inside the window end.
+    umax = jnp.max(jnp.clip(uc, 0, cam.width - 1), axis=1)
+    vmax = jnp.max(jnp.clip(vc, 0, cam.height - 1), axis=1)
+    fits = (umax <= u0.astype(jnp.float32) + (_SMALL_U - 1.5)) & (
+        vmax <= v0.astype(jnp.float32) + (_SMALL_V - 1.5)
+    )
+    sml = (fits & mask).astype(jnp.int32)
+    if os.environ.get("BF_TSDF_FORCE_BIG"):  # debug: disable the small window
+        sml = sml * 0
     mask_i = mask.astype(jnp.int32)
 
     params = jnp.zeros((1, 128), jnp.float32)
@@ -317,7 +363,7 @@ def integrate_blocks_pallas_planar(
     )
     bmap = lambda i, slots_ref, *_: (slots_ref[i], 0, 0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=7,
+        num_scalar_prefetch=8,
         grid=(b,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),  # params
@@ -340,10 +386,10 @@ def integrate_blocks_pallas_planar(
             jax.ShapeDtypeStruct(w_r.shape, jnp.float32),
             jax.ShapeDtypeStruct(col_r.shape, jnp.float32),
         ],
-        input_output_aliases={14: 0, 15: 1, 16: 2},
+        input_output_aliases={15: 0, 16: 1, 17: 2},
         interpret=interpret,
     )(
-        slots, coords[:, 0], coords[:, 1], coords[:, 2], mask_i, u0, v0,
+        slots, coords[:, 0], coords[:, 1], coords[:, 2], mask_i, u0, v0, sml,
         params, *planes, sdf_r, w_r, col_r,
     )
     return sdf, wgt, col

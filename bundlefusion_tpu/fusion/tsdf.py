@@ -162,8 +162,12 @@ def _integrate_blocks(
         ctrs = voxel_centers(block_coord, cfg.voxel_size)  # [8,8,8,3]
         p_cam = se3.transform_points(w2c, ctrs.reshape(-1, 3))  # [512, 3]
         uv, ok = project(cam, p_cam)
-        ui = jnp.clip(jnp.round(uv[..., 0]).astype(jnp.int32), 0, cam.width - 1)
-        vi = jnp.clip(jnp.round(uv[..., 1]).astype(jnp.int32), 0, cam.height - 1)
+        # nearest pixel as floor(x + 0.5) — bit-identical to the Pallas
+        # kernel's expression. jnp.round's half-to-even disagreed with the
+        # kernel on exact-half projections (~8 voxels per megavoxel on real
+        # frames), which showed up as cross-path diffs in hardware A/Bs.
+        ui = jnp.clip(uv[..., 0] + 0.5, 0, cam.width - 1).astype(jnp.int32)
+        vi = jnp.clip(uv[..., 1] + 0.5, 0, cam.height - 1).astype(jnp.int32)
         u0 = jnp.clip(jnp.min(ui), 0, cam.width - 1)
         v0 = jnp.clip(jnp.min(vi), 0, cam.height - 1)
         patch = jax.lax.dynamic_slice(img, (v0, u0, 0), (P, P, 4))  # [P, P, 4]
