@@ -579,7 +579,9 @@ class BundleFusion:
         toolchain built ``native/framewire.cpp`` (numpy fallback otherwise).
         """
         row = self._next_fid % self.chunk_frames
-        if row == 0:
+        if row == 0 or not self._fs_slabs:
+            # row != 0 with no slab happens after checkpoint-resume mid-chunk:
+            # the restored pipeline starts writing partway into a fresh slab
             self._fs_slabs.extend(
                 _staging_checkout(
                     self, (self.chunk_frames, self.cam.height, self.cam.width), 1

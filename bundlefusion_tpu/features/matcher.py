@@ -62,11 +62,16 @@ def match_pair(
     pairmask = vi[:, None] & vj[None, :]
     sim = jnp.where(pairmask, sim, -2.0)
 
-    # top-2 nearest (max similarity = min distance)
-    top2, top2_idx = jax.lax.top_k(sim, 2)  # [Ki, 2]
-    d1 = jnp.sqrt(jnp.maximum(2.0 - 2.0 * top2[:, 0], 0.0))
-    d2 = jnp.sqrt(jnp.maximum(2.0 - 2.0 * top2[:, 1], 0.0))
-    best_j = top2_idx[:, 0]
+    # top-2 nearest (max similarity = min distance). Two max/argmax passes
+    # instead of lax.top_k(k=2): XLA lowers top_k through a full row sort on
+    # TPU (~10x the cost of a reduction); argmax ties break to the lowest
+    # index, exactly like top_k's stable order.
+    best_j = jnp.argmax(sim, axis=1)  # [Ki]
+    s1 = jnp.max(sim, axis=1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, sim.shape, 1)
+    s2 = jnp.max(jnp.where(cols == best_j[:, None], -2.0, sim), axis=1)
+    d1 = jnp.sqrt(jnp.maximum(2.0 - 2.0 * s1, 0.0))
+    d2 = jnp.sqrt(jnp.maximum(2.0 - 2.0 * s2, 0.0))
 
     ratio_ok = d1 < cfg.match_ratio_thresh * d2
     dist_ok = d1 < cfg.match_dist_thresh

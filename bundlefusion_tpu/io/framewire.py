@@ -31,7 +31,11 @@ def _load() -> ctypes.CDLL | None:
         try:
             if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
                 subprocess.run(
-                    ["g++", "-O3", "-fopenmp", "-shared", "-fPIC", "-o", _SO, _SRC],
+                    # -march=native: built on the host it runs on (build
+                    # happens at import); the conversion loops vectorize to
+                    # AVX-512 — ~4x on this machine's single core
+                    ["g++", "-O3", "-march=native", "-fopenmp", "-shared",
+                     "-fPIC", "-o", _SO, _SRC],
                     check=True,
                     capture_output=True,
                 )
