@@ -413,24 +413,22 @@ def _fuse_rows_scan(
             pool_to_planar,
         )
 
+        # No lax.cond around the carry: a conditional's branches cannot alias
+        # the carried buffers through the scan, so XLA materializes a copy of
+        # the multi-GB planar pools per row (measured ~190 ms/chunk at the
+        # flagship capacity). Instead fold `ok` into the slot mask — the
+        # kernel's masked-row skip (pl.when) makes a fully-masked row ~1 ms.
         def step_p(pools, inp):
             fi, pose, ok, keys_row, rec_row, sign = inp
-
-            def do(pools):
-                slots, found = lookup(table, keys_row)
-                mask = found & rec_row
-                slots = jnp.where(mask, slots, cap_slot).astype(jnp.int32)
-                p_ovf = patch_overflow_count(keys_row, mask, pose, cam, cfg)
-                pools = integrate_blocks_pallas_planar(
-                    pools, table.key_of_slot, slots, mask,
-                    depths[fi], colors[fi], pose, cam, cfg, sign,
-                )
-                return pools, (mask, p_ovf)
-
-            def skip(pools):
-                return pools, (jnp.zeros(keys_row.shape[0], bool), jnp.int32(0))
-
-            return jax.lax.cond(ok, do, skip, pools)
+            slots, found = lookup(table, keys_row)
+            mask = found & rec_row & ok
+            slots = jnp.where(mask, slots, cap_slot).astype(jnp.int32)
+            p_ovf = patch_overflow_count(keys_row, mask, pose, cam, cfg)
+            pools = integrate_blocks_pallas_planar(
+                pools, table.key_of_slot, slots, mask,
+                depths[fi], colors[fi], pose, cam, cfg, sign,
+            )
+            return pools, (mask, p_ovf)
 
         pools, (masks, p_ovfs) = jax.lax.scan(
             step_p,
@@ -441,20 +439,13 @@ def _fuse_rows_scan(
 
     def step(tbl, inp):
         fi, pose, ok, keys_row, rec_row, sign = inp
-
-        def do(tbl):
-            slots, found = lookup(tbl, keys_row)
-            mask = found & rec_row
-            p_ovf = patch_overflow_count(keys_row, mask, pose, cam, cfg)
-            tbl = _integrate_blocks_dispatch(
-                slots, mask, tbl, depths[fi], colors[fi], pose, cam, cfg, sign
-            )
-            return tbl, (mask, p_ovf)
-
-        def skip(tbl):
-            return tbl, (jnp.zeros(keys_row.shape[0], bool), jnp.int32(0))
-
-        return jax.lax.cond(ok, do, skip, tbl)
+        slots, found = lookup(tbl, keys_row)
+        mask = found & rec_row & ok
+        p_ovf = patch_overflow_count(keys_row, mask, pose, cam, cfg)
+        tbl = _integrate_blocks_dispatch(
+            slots, mask, tbl, depths[fi], colors[fi], pose, cam, cfg, sign
+        )
+        return tbl, (mask, p_ovf)
 
     table, (masks, p_ovfs) = jax.lax.scan(
         step, table, (fidx, poses, active, keys_rows, rec_rows, signs)
