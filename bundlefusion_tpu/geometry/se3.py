@@ -227,11 +227,52 @@ def kabsch(
     d = dst - mu_d[..., None, :]
     # 3x3 cross-covariance; tiny matmul, fine on VPU/MXU.
     H = jnp.einsum("...ni,...n,...nj->...ij", s, wn, d)
-    U, _, Vt = jnp.linalg.svd(H)
-    # Proper rotation: flip the last singular vector if det < 0.
-    det = jnp.linalg.det(jnp.einsum("...ij,...jk->...ik", jnp.swapaxes(Vt, -1, -2), jnp.swapaxes(U, -1, -2)))
-    D = jnp.stack([jnp.ones_like(det), jnp.ones_like(det), det], axis=-1)
-    R = jnp.einsum("...ji,...j,...kj->...ik", Vt, D, U)
+    # Optimal rotation via Horn's quaternion method instead of the textbook
+    # SVD: jnp.linalg.svd lowers to an iterative Jacobi while-loop on TPU —
+    # pathological for the filter's batched [P, 3, 3] problems — whereas the
+    # top eigenvector of Horn's 4x4 matrix falls to fixed-count, branch-free
+    # arithmetic. Quaternions are proper rotations by construction — no
+    # det-flip correction needed.
+    Sxx, Sxy, Sxz = H[..., 0, 0], H[..., 0, 1], H[..., 0, 2]
+    Syx, Syy, Syz = H[..., 1, 0], H[..., 1, 1], H[..., 1, 2]
+    Szx, Szy, Szz = H[..., 2, 0], H[..., 2, 1], H[..., 2, 2]
+    N = jnp.stack(
+        [
+            jnp.stack([Sxx + Syy + Szz, Syz - Szy, Szx - Sxz, Sxy - Syx], -1),
+            jnp.stack([Syz - Szy, Sxx - Syy - Szz, Sxy + Syx, Szx + Sxz], -1),
+            jnp.stack([Szx - Sxz, Sxy + Syx, -Sxx + Syy - Szz, Syz + Szy], -1),
+            jnp.stack([Sxy - Syx, Szx + Sxz, Syz + Szy, -Sxx - Syy + Szz], -1),
+        ],
+        -2,
+    )  # [..., 4, 4] symmetric
+    # Shift so the MAX eigenvalue dominates in magnitude (N's spectrum can be
+    # negative; Frobenius norm >= spectral radius), then power-iterate by
+    # REPEATED SQUARING: k squarings of the normalized matrix equal 2^k power
+    # steps, so 12 batched 4x4 matmuls give ~4096 effective iterations —
+    # exponentially convergent for any spectral gap, where a linear-rate
+    # matvec loop stalls once the shift compresses the relative gap.
+    def _frob(M):
+        return jnp.sqrt(jnp.sum(M * M, axis=(-2, -1), keepdims=True))
+
+    sig = _frob(N)
+    M = N + sig * jnp.eye(4, dtype=N.dtype)
+    M = M / jnp.maximum(_frob(M), _EPS)
+    for _ in range(12):
+        M = jnp.einsum("...ij,...jk->...ik", M, M)
+        M = M / jnp.maximum(_frob(M), _EPS)
+    # M -> spectral projector u1 u1^T (up to scale); contract with a generic
+    # vector to read the eigenvector out, one final matvec to polish
+    q = jnp.einsum("...ij,...j->...i", M, jnp.ones(N.shape[:-1], N.dtype))
+    q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), _EPS)
+    qw, qx, qy, qz = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    R = jnp.stack(
+        [
+            jnp.stack([1 - 2 * (qy * qy + qz * qz), 2 * (qx * qy - qw * qz), 2 * (qx * qz + qw * qy)], -1),
+            jnp.stack([2 * (qx * qy + qw * qz), 1 - 2 * (qx * qx + qz * qz), 2 * (qy * qz - qw * qx)], -1),
+            jnp.stack([2 * (qx * qz - qw * qy), 2 * (qy * qz + qw * qx), 1 - 2 * (qx * qx + qy * qy)], -1),
+        ],
+        -2,
+    )
     t = mu_d - jnp.einsum("...ij,...j->...i", R, mu_s)
     return rt_to_mat(R, t)
 

@@ -306,9 +306,24 @@ def test_soak_2k_frames_bounded_memory():
     # actually paged blocks out
     assert int(bf.table.num_active()) <= cfg.app.block_capacity
     assert len(bf.block_store) > 0, "sustained growth must engage streaming"
-    # ring spill happened mid-run and was SERVICED by finalize, not lost
-    assert rows[:, cols["ring_miss"]].sum() > 0, "soak must exercise ring spill"
+    # ring spill happened (2,048 frames through a 256-slot ring) and was
+    # SERVICED by finalize, not lost. Residency-aware planning (VERDICT r2
+    # weak #4) deliberately keeps spilled frames OUT of the mid-run budget
+    # (ring_miss counts only budget-unfilled spill picks, normally 0), so the
+    # spill observable is finalize's re-upload count — those frames were not
+    # ring-resident when serviced — plus a drained backlog afterwards.
     assert bf._ring_uploads > 0, "finalize must re-upload spilled frames"
+    from bundlefusion_tpu.bundle import trajectory
+
+    plan = trajectory.plan_reintegration(
+        bf.traj, 64,
+        rot_thresh=cfg.app.reint_rot_thresh,
+        trans_thresh=cfg.app.reint_trans_thresh,
+        exclude_from=jnp.int32(bf.num_frames),
+    )
+    assert not bool(np.asarray(plan.deint_mask | plan.reint_mask).any()), (
+        "finalize service must drain the re-integration backlog"
+    )
     # correspondence buffer survived hundreds of keyframes (fair eviction, no
     # collapse): the cursor keeps moving in the final quarter of the run
     tail = rows[-len(rows) // 4 :, cols["corr_cursor"]]
