@@ -138,6 +138,8 @@ def main(argv=None) -> int:
                 if valid[last]:
                     img = bf.render_preview(pose[last])
                     save_preview(os.path.join(args.out, f"preview_{frame_idx:05d}.png"), img)
+        if args.checkpoint_every:
+            bf.sync()  # chunk_count lags under async ingest until drained
         if args.checkpoint_every and bf.chunk_count and bf.chunk_count % args.checkpoint_every == 0:
             from .bundle.checkpoint import save_checkpoint
 

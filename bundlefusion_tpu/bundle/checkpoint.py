@@ -21,6 +21,7 @@ from .pipeline import BundleFusion
 
 def save_checkpoint(bf: BundleFusion, path: str) -> None:
     """Serialize the full pipeline state to one file."""
+    bf.sync()  # drain the async ingest stage: state must be coherent
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     device_state = {
         "table": jax.tree.map(np.asarray, bf.table),

@@ -28,7 +28,9 @@ Host work is orchestration-only: frame wire conversion, ring slot policy
 from __future__ import annotations
 
 import functools
+import os
 import weakref
+from concurrent.futures import ThreadPoolExecutor
 from typing import NamedTuple
 
 import jax
@@ -371,6 +373,34 @@ def _accum_gc(gc_total: jax.Array, freed: jax.Array) -> jax.Array:
 _STAGING_POOL: dict[tuple, list] = {}
 _STAGING_DEPTH = 3
 
+# --- shared ingest workers ---------------------------------------------------
+# Two module-level single-thread executors pipeline every chunk's ingest:
+# an UPLOAD stage (host->device transfer) feeding a DISPATCH stage
+# (_process_chunk). Host->device transfers on this machine's tunneled TPU
+# BLOCK the calling thread for the full wire time (~100 ms/chunk when the
+# device queue is deep — transfers contend with compute on the tunnel), and
+# _process_chunk blocks on the 2-chunk backpressure token (device time), so
+# with ONE thread uploads serialize behind backpressure waits and with ZERO
+# threads (the pre-round-4 design) the frame-ingest thread paid both. Each
+# stage is a single worker, so chunk order stays strict per pipeline AND
+# across pipelines; JAX dispatch and device_put are thread-safe.
+_UPLOAD_EX: ThreadPoolExecutor | None = None
+_DISPATCH_EX: ThreadPoolExecutor | None = None
+
+
+def _upload_executor() -> ThreadPoolExecutor:
+    global _UPLOAD_EX
+    if _UPLOAD_EX is None:
+        _UPLOAD_EX = ThreadPoolExecutor(1, thread_name_prefix="bf-upload")
+    return _UPLOAD_EX
+
+
+def _dispatch_executor() -> ThreadPoolExecutor:
+    global _DISPATCH_EX
+    if _DISPATCH_EX is None:
+        _DISPATCH_EX = ThreadPoolExecutor(1, thread_name_prefix="bf-dispatch")
+    return _DISPATCH_EX
+
 
 def _staging_checkout(owner, shape: tuple[int, int, int], n: int = _STAGING_DEPTH) -> list:
     """Check out ``n`` warm (uint16 depth, uint8 color) buffer pairs of
@@ -550,6 +580,18 @@ class BundleFusion:
         self._bp_tokens: list = []  # backpressure: block on chunk c-2's output
         self._finalized = False
         self._reloc_seen = 0
+        # async ingest: staged chunks upload + dispatch on the shared worker
+        # thread (strict FIFO), overlapping the blocking transfer with wire
+        # conversion and device compute. Off in profile mode (per-stage
+        # attribution needs the caller's thread) or with BF_SYNC_INGEST=1.
+        # State mutated by _process_chunk is only valid on the ingest thread
+        # until sync(); every public accessor drains first.
+        self._async_ingest = (
+            not profile and os.environ.get("BF_SYNC_INGEST", "0") != "1"
+        )
+        self._chunk_futs: list = []  # dispatch-stage futures (sync() drains)
+        self._upload_futs: list = []  # upload-stage futures (staging guard)
+        self._chunks_staged = 0  # main-thread view of chunks handed off
 
         # out-of-core streaming (CUDASceneRepChunkGrid analog; config-5 scale).
         # Interacting with the host store requires device readbacks, which
@@ -617,35 +659,74 @@ class BundleFusion:
         # chunk c consumes frames [c*S, c*S + S]; overlap frame c*S is shared
         # with the previous chunk, so after chunk 0 each chunk needs S new ones
         while True:
-            needed = self.chunk_frames if self.chunk_count == 0 else self.S
-            if len(self._pending) < needed + (0 if self.chunk_count == 0 else 1):
+            first = self._chunks_staged == 0
+            needed = self.chunk_frames if first else self.S
+            if len(self._pending) < needed + (0 if first else 1):
                 # keep the overlap frame at the head of pending
                 return
             take = self._pending[: self.chunk_frames]
             if len(take) < self.chunk_frames:
                 return
+            # the staging slot about to be filled must not still be in flight
+            # on the upload worker (rotation depth bounds upload runahead),
+            # and the dispatch stage must not fall arbitrarily behind the
+            # uploads (each undisached chunk pins ~17 MB of device arrays —
+            # unbounded on a long sequence)
+            while len(self._upload_futs) >= _STAGING_DEPTH - 1:
+                self._upload_futs.pop(0).result()
+            while len(self._chunk_futs) >= 4:
+                self._chunk_futs.pop(0).result()
             # one batched host->device transfer per array, assembled by row
             # copies into warm pooled staging (a fresh np.stack output would
             # page-fault ~300 ms/chunk on this host — see _STAGING_POOL)
-            sd, sc = self._stage[self._stage_rot]
+            rot = self._stage_rot
+            sd, sc = self._stage[rot]
             for i, t in enumerate(take):
                 sd[i] = t[0]
                 sc[i] = t[1]
-            d16 = jnp.asarray(sd)
-            c8 = jnp.asarray(sc)
-            if take[0][2] is take[0][0]:
-                d16i, c8i = d16, c8
-            else:
-                sdi, sci = self._stage_int[self._stage_rot]
+            same = take[0][2] is take[0][0]
+            if not same:
+                sdi, sci = self._stage_int[rot]
                 for i, t in enumerate(take):
                     sdi[i] = t[2]
                     sci[i] = t[3]
-                d16i = jnp.asarray(sdi)
-                c8i = jnp.asarray(sci)
-            self._stage_rot = (self._stage_rot + 1) % _STAGING_DEPTH
-            self._process_chunk(d16, c8, d16i, c8i)
+            self._stage_rot = (rot + 1) % _STAGING_DEPTH
+            self._chunks_staged += 1
+
+            def _upload(rot=rot, same=same):
+                sd, sc = self._stage[rot]
+                d16 = jnp.asarray(sd)
+                c8 = jnp.asarray(sc)
+                if same:
+                    return d16, c8, d16, c8
+                sdi, sci = self._stage_int[rot]
+                return d16, c8, jnp.asarray(sdi), jnp.asarray(sci)
+
+            if self._async_ingest:
+                up = _upload_executor().submit(_upload)
+                self._upload_futs.append(up)
+                self._chunk_futs.append(
+                    _dispatch_executor().submit(
+                        lambda f=up: self._process_chunk(*f.result())
+                    )
+                )
+            else:
+                self._process_chunk(*_upload())
             # drop consumed frames, keep the overlap frame
             self._pending = self._pending[self.S :]
+
+    def sync(self) -> None:
+        """Drain the async ingest stage: block until every staged chunk has
+        uploaded and dispatched its programs (device work may still be in
+        flight — follow with jax.block_until_ready for a full barrier).
+        Pipeline state (chunk_count, graph, table, ...) is only coherent on
+        the caller's thread after this returns; every public accessor calls
+        it first. Exceptions raised on the ingest workers re-raise here, in
+        chunk order (an upload failure surfaces through its dispatch
+        future)."""
+        while self._chunk_futs:
+            self._chunk_futs.pop(0).result()
+        self._upload_futs.clear()  # all uploads precede their dispatches
 
     # ------------------------------------------------------------------
     # core per-chunk step
@@ -1048,6 +1129,7 @@ class BundleFusion:
                 self._next_fid += 1
                 self._pending.append(last)
             self._maybe_process_chunk()
+        self.sync()
 
     def finalize(self) -> None:
         """End-of-sequence recovery (idempotent): revalidate stale chunks if
@@ -1056,6 +1138,7 @@ class BundleFusion:
         default run happen here — after the real-time loop is over."""
         if self._finalized:
             return
+        self.sync()
         self._finalized = True
         self._bp_tokens.clear()
         if self.num_keyframes > 1 and int(self.ctrl.reloc_events) > self._reloc_seen:
@@ -1090,13 +1173,16 @@ class BundleFusion:
     @property
     def tracking_lost(self) -> bool:
         """Host view of the device state machine (reads device state)."""
+        self.sync()
         return bool(self.ctrl.tracking_lost)
 
     @property
     def lost_chunks(self) -> int:
+        self.sync()
         return int(self.ctrl.lost_chunks)
 
     def current_poses(self) -> tuple[np.ndarray, np.ndarray]:
+        self.sync()
         n = self.num_frames
         return (
             np.asarray(self.traj.opt_pose[:n]),
@@ -1111,6 +1197,7 @@ class BundleFusion:
         just the blocks currently on the device. Blocks meshed in different
         batches can leave hairline cracks at their shared faces (the
         reference's chunked MC has the same property)."""
+        self.sync()
         ac = self.config.app
         mesh_parts = [marching_cubes.extract_mesh(self.table, ac)]
         if len(self.block_store):
@@ -1144,6 +1231,7 @@ class BundleFusion:
         """Raycast preview at the configured raycast resolution (override with
         explicit width/height) — raycast_width/height were decorative before
         round 3 (VERDICT r2 weak #9)."""
+        self.sync()
         ac = self.config.app
         if width:
             cam = self.cam.scaled(width, height)

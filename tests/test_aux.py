@@ -65,9 +65,11 @@ def test_checkpoint_resume(tmp_path):
     assert bf2.chunk_count == bf.chunk_count
     np.testing.assert_array_equal(np.asarray(bf2.graph.poses), np.asarray(bf.graph.poses))
     np.testing.assert_array_equal(np.asarray(bf2.table.keys), np.asarray(bf.table.keys))
-    # resumed pipeline keeps processing
+    # resumed pipeline keeps processing (sync drains the async ingest stage
+    # so chunk_count is coherent on this thread)
     for i in range(11, 21):
         bf2.push_frame(seq.depth[i], seq.color[i])
+    bf2.sync()
     assert bf2.chunk_count > bf.chunk_count
 
 
