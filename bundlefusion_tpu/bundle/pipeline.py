@@ -311,6 +311,9 @@ def _plan_and_fuse(
     table, diag = tsdf.fuse_batch(
         table, depth, color, old_poses, new_poses, deint, reint,
         upd_masks[frames], cam, cfg, upd_keys_rec=upd_keys[frames],
+        # only the plan rows (the batch tail) ever de-integrate — the n_new
+        # new-frame rows were always-masked deint scan rows before this
+        deint_rows=frames.shape[0] - n_new,
     )
     sentinel = traj.opt_pose.shape[0]  # out-of-range scatter ids are dropped
     deint_ids = jnp.where(deint, frames, sentinel)
@@ -694,13 +697,28 @@ class BundleFusion:
             self._chunks_staged += 1
 
             def _upload(rot=rot, same=same):
+                # The staging buffers are REUSED after _STAGING_DEPTH chunks,
+                # so the device arrays made here must not alias them past this
+                # call. On CPU, jnp.asarray zero-copy aliases an aligned numpy
+                # buffer — the rotation then overwrites chunk i's input while
+                # its compute is still queued (measured: nondeterministic
+                # block/weight state on the test host) — so force an owned
+                # copy there. On real devices the transfer copies; the final
+                # block bounds the staging lifetime to this call either way.
                 sd, sc = self._stage[rot]
-                d16 = jnp.asarray(sd)
-                c8 = jnp.asarray(sc)
+                cpu = jax.default_backend() == "cpu"
+
+                def put(x):
+                    return jnp.asarray(np.array(x) if cpu else x)
+
                 if same:
-                    return d16, c8, d16, c8
-                sdi, sci = self._stage_int[rot]
-                return d16, c8, jnp.asarray(sdi), jnp.asarray(sci)
+                    d16, c8 = put(sd), put(sc)
+                    out = (d16, c8, d16, c8)
+                else:
+                    sdi, sci = self._stage_int[rot]
+                    out = (put(sd), put(sc), put(sdi), put(sci))
+                jax.block_until_ready(out)
+                return out
 
             if self._async_ingest:
                 up = _upload_executor().submit(_upload)

@@ -46,6 +46,13 @@ class AppConfig:
     block_capacity: int = 16384  # max live blocks (s_hashNumBuckets-equivalent capacity)
     blocks_per_frame_cap: int = 4096  # max new block allocations in one integrate step
     alloc_stride: int = 2  # pixel subsampling for block allocation rays
+    # scale the allocation-ray stride with the block footprint: sampling every
+    # `alloc_stride` pixels at 640x480 is ~5x denser than one ray per block
+    # even at max_integration_distance. When on, the effective stride grows to
+    # half the minimum block footprint in pixels (block_m * fx / max_dist / 2,
+    # capped at 8) — physics-scaled, so low resolutions / big blocks are
+    # unaffected while high-res allocation sheds most of its key-sort cost.
+    alloc_stride_auto: bool = True
     use_pallas_tsdf: bool = True  # Pallas integrate kernel on TPU (XLA path elsewhere)
     integration_weight_sample: float = 1.0  # per-frame integration weight (s_SDFIntegrationWeightSample)
 

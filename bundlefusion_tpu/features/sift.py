@@ -249,22 +249,29 @@ def _extract_patches(tall: jax.Array, x0a: jax.Array, row0: jax.Array) -> jax.Ar
     """Gather [K] patches [_PATCH, _PATCH_W] from the tall image in ONE
     batched gather of 64-wide column blocks.
 
-    A vmapped ``dynamic_slice`` lowers to a sequential per-key loop (~5.6k
-    iterations per chunk — measured ~38 ms/chunk at 640x480); viewing the tall
-    image as [Ht*nb, 64] block rows turns patch extraction into a single
-    gather of K*P*2 contiguous 64-element rows (gathers are row-count-bound
-    on TPU). ``x0a`` must be 64-aligned; the extra 64 columns of coverage
-    absorb the alignment.
+    Gathers are slice-count-bound on TPU: a vmapped ``dynamic_slice`` lowers
+    to a sequential per-key loop (measured ~38 ms/chunk at 640x480), and a
+    row-blocked gather of K*P*2 thin 64-element rows still paid ~15 ms/chunk.
+    Viewing the tall image as [Ht, nb, 64] column blocks makes each key's
+    whole patch ONE contiguous (P, 2, 64) lax.gather slice — K slices total,
+    ~2x faster, and the output needs no transpose (the minor [2, 64] -> [128]
+    merge is a free reinterpretation). ``x0a`` must be 64-aligned with
+    x0a//64 + 2 <= nb (the caller's clamp guarantees it).
     """
     ht, w = tall.shape
     nb = w // _BLK
-    blocks = tall.reshape(ht * nb, _BLK)
-    xb0 = x0a // _BLK
-    rows = row0[:, None] + jnp.arange(_PATCH)[None, :]  # [K, P]
-    bcols = xb0[:, None] + jnp.arange(_PATCH_W // _BLK)[None, :]  # [K, 2]
-    idx = rows[:, :, None] * nb + bcols[:, None, :]  # [K, P, 2]
     k = x0a.shape[0]
-    return blocks[idx.reshape(-1)].reshape(k, _PATCH, _PATCH_W)
+    t3 = tall.reshape(ht, nb, _BLK)
+    starts = jnp.stack([row0, x0a // _BLK], axis=1)  # [K, 2]
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2, 3),
+        collapsed_slice_dims=(),
+        start_index_map=(0, 1),
+    )
+    g = jax.lax.gather(
+        t3, starts, dn, slice_sizes=(_PATCH, _PATCH_W // _BLK, _BLK), mode="clip"
+    )  # [K, P, 2, 64]
+    return g.reshape(k, _PATCH, _PATCH_W)
 
 
 def _sample_in_patches(patches: jax.Array, lx: jax.Array, ly: jax.Array) -> jax.Array:
@@ -274,6 +281,12 @@ def _sample_in_patches(patches: jax.Array, lx: jax.Array, ly: jax.Array) -> jax.
     [K, S]. On TPU this is MXU work (two small matmuls per key) instead of 4S
     random gathers per key — the same separable-tent trick as
     ``preprocess.bilinear_sample_matmul``.
+
+    Precision note: a bf16 variant of these contractions was tried and
+    REVERTED — it saved ~nothing (the stage is bound elsewhere; the patch
+    gather was the real cost, see ``_extract_patches``) and the ~0.4%
+    gradient error measurably degraded small-image tracking (corrupt-chunk
+    recovery ATE 2x over threshold).
     """
     pr = patches.shape[-2]
     pc = patches.shape[-1]

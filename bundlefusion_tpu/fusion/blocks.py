@@ -100,12 +100,50 @@ def unpack_key(key: jax.Array) -> jax.Array:
     return jnp.stack([x, y, z], axis=-1)
 
 
+def lower_bound(sorted_keys: jax.Array, query: jax.Array) -> jax.Array:
+    """#(sorted_keys < q) per query — ``jnp.searchsorted(..., side='left')``
+    rebuilt for TPU.
+
+    XLA lowers searchsorted to ~log2(N) SEQUENTIAL dependent-gather rounds
+    (measured 25-33 ms for the block-table sizes — the dominant cost of both
+    lookup and allocation). This two-level form is branchless VPU work: a
+    dense compare against a [NB] coarse row (first key of every bucket)
+    finds each query's boundary bucket, ONE contiguous-row gather pulls that
+    bucket's keys, and a dense compare counts within it. ~20-50x faster at
+    equal results (exact lower bound, duplicates and INVALID padding
+    included).
+    """
+    n = sorted_keys.shape[0]
+    q_shape = query.shape
+    q = query.reshape(-1)
+    # bucket ~ sqrt(n), 128-lane aligned
+    b = 128
+    while b * b < n:
+        b *= 2
+    nb = -(-n // b)
+    pad_val = jnp.iinfo(sorted_keys.dtype).max
+    padded = jnp.concatenate(
+        [sorted_keys, jnp.full((nb * b - n,), pad_val, sorted_keys.dtype)]
+    )
+    coarse = padded[:: b]  # [nb] first key of each bucket
+    # last bucket whose first key < q holds the lower-bound boundary: every
+    # earlier bucket's keys are <= that bucket's first key, hence < q
+    jstar = jnp.clip(
+        jnp.sum(coarse[None, :] < q[:, None], axis=1) - 1, 0, nb - 1
+    ).astype(jnp.int32)
+    seg = padded.reshape(nb, b)[jstar]  # [Q, b] contiguous-row gather
+    within = jnp.sum(seg < q[:, None], axis=1).astype(jnp.int32)
+    pos = jstar * b + within
+    # queries beyond the last real key: count only real entries
+    return jnp.minimum(pos, n).reshape(q_shape)
+
+
 def lookup(table: BlockTable, query: jax.Array) -> tuple[jax.Array, jax.Array]:
     """Find DATA slots of packed keys. Returns (slot [...], found [...]).
 
     Not-found queries return slot 0 with found=False — callers mask.
     """
-    idx = jnp.searchsorted(table.keys, query)
+    idx = lower_bound(table.keys, query)
     idx = jnp.clip(idx, 0, table.capacity - 1)
     found = (table.keys[idx] == query) & (query != INVALID_KEY)
     slot = table.slot_of[idx]
@@ -168,16 +206,26 @@ def dedup_keys_counted(
     return compact_sorted(s, valid_first, out_capacity), truncated
 
 
-def allocate(table: BlockTable, new_keys: jax.Array) -> tuple[BlockTable, jax.Array]:
+def allocate(
+    table: BlockTable, new_keys: jax.Array, assume_unique_sorted: bool = False
+) -> tuple[BlockTable, jax.Array]:
     """Insert blocks for `new_keys` (packed, possibly duplicated/INVALID).
 
     Returns (table, overflow count). Existing blocks keep their data slots;
     brand-new blocks take slots from the free tail and have their voxel data
     zeroed. Only the [C]-sized index pair is re-sorted — the voxel pool never
     moves.
+
+    ``assume_unique_sorted=True`` skips the internal dedup sort — for callers
+    whose key list already IS a sorted unique set with an INVALID tail (the
+    per-chunk fuse path feeds ``_union_counted`` output straight in here;
+    re-sorting it cost ~9 ms/chunk at flagship capacity).
     """
     cap = table.capacity
-    cand = dedup_keys(new_keys, new_keys.shape[0])  # [A] unique sorted
+    if assume_unique_sorted:
+        cand = new_keys
+    else:
+        cand = dedup_keys(new_keys, new_keys.shape[0])  # [A] unique sorted
     _, found = lookup(table, cand)
     cand = jnp.where(found, INVALID_KEY, cand)  # only truly-new keys
 
@@ -219,12 +267,10 @@ def allocate(table: BlockTable, new_keys: jax.Array) -> tuple[BlockTable, jax.Ar
         jnp.zeros((cand.shape[0] + 1,), jnp.int32)
         .at[pos_c].set(assigned, mode="drop")[:-1]
     )
-    pos_a = jnp.arange(cap, dtype=jnp.int32) + jnp.searchsorted(
-        cand_c, table.keys, side="left"
-    ).astype(jnp.int32)
-    pos_b = jnp.arange(cand_c.shape[0], dtype=jnp.int32) + jnp.searchsorted(
-        table.keys, cand_c, side="left"
-    ).astype(jnp.int32)
+    pos_a = jnp.arange(cap, dtype=jnp.int32) + lower_bound(cand_c, table.keys)
+    pos_b = jnp.arange(cand_c.shape[0], dtype=jnp.int32) + lower_bound(
+        table.keys, cand_c
+    )
     pos_b = jnp.where(cand_c != INVALID_KEY, pos_b, cap)  # INVALIDs: na+j < cap
     del nb
     new_keys_sorted = (

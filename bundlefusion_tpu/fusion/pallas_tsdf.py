@@ -94,12 +94,10 @@ def _kernel(
     sml_ref,  # [B] 1 -> the small sampling window provably covers the block
     # inputs
     pose_ref,  # [1, 128] f32: w2c row-major (12) + intrinsics + sign
-    dhi_ref,  # [Hp, Wp] bf16 depth split hi (hi+mid+lo == f32 depth, exact)
-    dmid_ref,  # [Hp, Wp] bf16 depth split mid
-    dlo_ref,  # [Hp, Wp] bf16 depth split lo
-    cr_ref,  # [Hp, Wp] bf16 color r in 0..255 (exact bf16 integers)
-    cg_ref,  # [Hp, Wp] bf16 color g
-    cb_ref,  # [Hp, Wp] bf16 color b
+    planes_ref,  # [6*Hp, Wp] bf16 — the six sampling planes stacked tall:
+    # depth split hi/mid/lo (hi+mid+lo == f32 depth, exact) then color
+    # r/g/b in 0..255 (exact bf16 integers). One tall array so the kernel
+    # samples ALL planes with a single M-stacked MXU contraction (below).
     sdf_ref,  # [1, 4, 128]
     w_ref,  # [1, 4, 128]
     col_ref,  # [1, 12, 128] planar r|g|b (4 rows each)
@@ -116,6 +114,7 @@ def _kernel(
     w_sample: float,
     width: int,
     height: int,
+    hp: int,  # padded per-plane row count (16-aligned) inside planes_ref
 ):
     i = pl.program_id(0)
     active = msk_ref[i] > 0
@@ -125,8 +124,16 @@ def _kernel(
     # at small frame resolutions the live update set is well under the static
     # blocks_per_frame_cap grid, and unmasked rows were paying full one-hot +
     # sampling + update cost for nothing. The masked write-through keeps the
-    # sentinel scratch row's output defined.
-    @pl.when(jnp.logical_not(active))
+    # sentinel scratch row's output defined — but only on the FIRST step of a
+    # masked run: every masked step routes to the same scratch slot, so
+    # Mosaic's revisiting keeps the same VMEM buffer across consecutive
+    # equal-index steps and one copy makes it valid for the whole run.
+    # (A fully-masked row is thousands of scratch steps; copying 20 KB per
+    # step was most of its ~1.7 ms cost.)
+    prev = slots_ref[jnp.maximum(i - 1, 0)]
+    fresh = (i == 0) | (slots_ref[i] != prev)
+
+    @pl.when(jnp.logical_not(active) & fresh)
     def _passthrough():
         sdf_out[0] = sdf_ref[0]
         w_out[0] = w_ref[0]
@@ -173,9 +180,9 @@ def _kernel(
             in_win = (lu >= 0) & (lu < pu_ext) & (lv >= 0) & (lv < pv_ext)
             luc = jnp.clip(lu, 0, pu_ext - 1)
             lvc = jnp.clip(lv, 0, pv_ext - 1)
-            # one-hot selectors are exact in bf16 (0/1) -> every sample below
-            # is a single NATIVE bf16 MXU pass, and the selected value is
-            # exact (the contraction adds only zeros)
+            # one-hot selectors are exact in bf16 (0/1) -> the sample below
+            # is a NATIVE bf16 MXU pass, and the selected value is exact
+            # (the contraction adds only zeros)
             oh_u = (
                 jax.lax.broadcasted_iota(jnp.int32, (pu_ext, _NVOX), 0) == luc
             ).astype(jnp.bfloat16)  # [Pu, 512]
@@ -183,28 +190,46 @@ def _kernel(
                 jax.lax.broadcasted_iota(jnp.int32, (pv_ext, _NVOX), 0) == lvc
             ).astype(jnp.float32)  # [Pv, 512]
 
-            def sample(img_ref):
-                patch = img_ref[pl.ds(v0a, pv_ext), pl.ds(u0a, pu_ext)]
-                # precision must be DEFAULT explicitly: the package-wide
-                # jax_default_matmul_precision=float32 would request
-                # contract_precision<fp32> on bf16 operands, which real
-                # Mosaic rejects ("Bad lhs type"); DEFAULT = one native bf16
-                # MXU pass, still exact (one-hot adds only zeros).
-                tmp = jnp.dot(
-                    patch,
-                    oh_u,
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.DEFAULT,
-                )  # [Pv, 512]
-                return jnp.sum(oh_v * tmp, axis=0, keepdims=True)  # [1, 512]
+            # ALL SIX planes sampled by ONE M-stacked contraction: each
+            # plane's patch is a [Pv, Pu] slice of the tall stack; stacking
+            # them along M gives [6*Pv, Pu] @ [Pu, 512] — at the small
+            # window that is M=384 (3 full MXU M-tiles) where six separate
+            # dots ran M=64 each (6 half-idle tiles): HALF the MXU passes
+            # for identical results (each plane's rows are independent).
+            # precision must be DEFAULT explicitly: the package-wide
+            # jax_default_matmul_precision=float32 would request
+            # contract_precision<fp32> on bf16 operands, which real
+            # Mosaic rejects ("Bad lhs type"); DEFAULT = one native bf16
+            # MXU pass, still exact (one-hot adds only zeros).
+            patch6 = jnp.concatenate(
+                [
+                    planes_ref[
+                        pl.ds(pl.multiple_of(p * hp + v0a, 16), pv_ext),
+                        pl.ds(u0a, pu_ext),
+                    ]
+                    for p in range(6)
+                ],
+                axis=0,
+            )  # [6*Pv, Pu]
+            tmp6 = jnp.dot(
+                patch6,
+                oh_u,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
+            )  # [6*Pv, 512]
+
+            def pick(p):  # [1, 512] sample of plane p (oh_v-masked reduce)
+                return jnp.sum(
+                    oh_v * tmp6[p * pv_ext : (p + 1) * pv_ext], axis=0, keepdims=True
+                )
 
             # exact f32 depth from the 3-way bf16 split: hi+mid fits 17
             # mantissa bits (representable), +lo restores the full 24 —
             # bit-equal to the f32 image the XLA path samples
-            d = (sample(dhi_ref) + sample(dmid_ref)) + sample(dlo_ref)
-            cr = sample(cr_ref) * (1.0 / 255.0)
-            cg = sample(cg_ref) * (1.0 / 255.0)
-            cb = sample(cb_ref) * (1.0 / 255.0)
+            d = (pick(0) + pick(1)) + pick(2)
+            cr = pick(3) * (1.0 / 255.0)
+            cg = pick(4) * (1.0 / 255.0)
+            cb = pick(5) * (1.0 / 255.0)
 
             trunc = trunc_base + trunc_scale * d
             sdf_val = d - pz
@@ -345,10 +370,24 @@ def integrate_blocks_pallas_planar(
     params = params.at[0, 12:17].set(
         jnp.asarray([cam.fx, cam.fy, cam.cx, cam.cy, weight_sign])
     )
-    pad = ((0, _PATCH_V), (0, _PATCH_U))
+    # six sampling planes stacked into ONE tall [6*Hp, Wp] array (the kernel
+    # samples all of them with a single M-stacked MXU contraction). Hp is
+    # 16-row aligned so every plane's patch slice keeps Mosaic's sublane
+    # alignment; coverage needs Hp >= (H-1 aligned down) + _PATCH_V and
+    # Wp >= (max aligned u0) + _PATCH_U, which H+_PATCH_V / W+_PATCH_U
+    # rounded up to the tile grid guarantee.
+    h_img, w_img = depth.shape
+    hp = -(-(h_img + _PATCH_V) // 16) * 16
+    wp = -(-(w_img + _PATCH_U) // 128) * 128
     dhi, dmid, dlo = split_depth_planes(depth)
     pr, pg, pb = color_planes(color)
-    planes = [jnp.pad(x, pad) for x in (dhi, dmid, dlo, pr, pg, pb)]
+    planes_tall = jnp.concatenate(
+        [
+            jnp.pad(x, ((0, hp - h_img), (0, wp - w_img)))
+            for x in (dhi, dmid, dlo, pr, pg, pb)
+        ],
+        axis=0,
+    )  # [6*Hp, Wp] bf16
 
     kernel = functools.partial(
         _kernel,
@@ -360,6 +399,7 @@ def integrate_blocks_pallas_planar(
         w_sample=cfg.integration_weight_sample,
         width=cam.width,
         height=cam.height,
+        hp=hp,
     )
     bmap = lambda i, slots_ref, *_: (slots_ref[i], 0, 0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -367,7 +407,7 @@ def integrate_blocks_pallas_planar(
         grid=(b,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),  # params
-            *[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(6)],  # planes
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # planes (tall stack)
             pl.BlockSpec((1, 4, 128), bmap),
             pl.BlockSpec((1, 4, 128), bmap),
             pl.BlockSpec((1, 12, 128), bmap),
@@ -386,11 +426,11 @@ def integrate_blocks_pallas_planar(
             jax.ShapeDtypeStruct(w_r.shape, jnp.float32),
             jax.ShapeDtypeStruct(col_r.shape, jnp.float32),
         ],
-        input_output_aliases={15: 0, 16: 1, 17: 2},
+        input_output_aliases={10: 0, 11: 1, 12: 2},
         interpret=interpret,
     )(
         slots, coords[:, 0], coords[:, 1], coords[:, 2], mask_i, u0, v0, sml,
-        params, *planes, sdf_r, w_r, col_r,
+        params, planes_tall, sdf_r, w_r, col_r,
     )
     return sdf, wgt, col
 

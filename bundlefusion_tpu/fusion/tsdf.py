@@ -81,6 +81,12 @@ def frame_alloc_keys(
     cutting the dedup-sort cost quadratically.
     """
     stride = max(int(cfg.alloc_stride), 1)
+    if getattr(cfg, "alloc_stride_auto", False):
+        # one ray per ~half block footprint at the farthest integration
+        # distance (closer blocks project larger, i.e. denser-than-needed):
+        # the stride is physics-scaled instead of resolution-fixed
+        fp_px = BLOCK * cfg.voxel_size * cam.fx / cfg.max_integration_distance
+        stride = max(stride, min(int(fp_px / 2), 8))
     d = depth[::stride, ::stride]
     pts_cam = unproject(cam, depth)[::stride, ::stride]  # [h, w, 3]
     valid = (d > 0) & (d < cfg.max_integration_distance)
@@ -339,7 +345,7 @@ def integrate(
     # dedup to the per-frame cap BEFORE the table merge: the merge argsort then
     # runs on [C + cap] instead of [C + H*W*samples]
     upd_keys, f_trunc = dedup_keys_counted(keys, cfg.blocks_per_frame_cap)
-    table, overflow = allocate(table, upd_keys)
+    table, overflow = allocate(table, upd_keys, assume_unique_sorted=True)
     slots, mask = _frame_update_set(table, depth, pose_c2w, cam, cfg, upd_keys)
     p_ovf = patch_overflow_count(upd_keys, mask, pose_c2w, cam, cfg)
     table = _integrate_blocks_dispatch(slots, mask, table, depth, color, pose_c2w, cam, cfg, +1.0)
@@ -418,12 +424,30 @@ def _fuse_rows_scan(
         # the multi-GB planar pools per row (measured ~190 ms/chunk at the
         # flagship capacity). Instead fold `ok` into the slot mask — the
         # kernel's masked-row skip (pl.when) makes a fully-masked row ~1 ms.
+        cap = keys_rows.shape[1]
+
         def step_p(pools, inp):
             fi, pose, ok, keys_row, rec_row, sign = inp
-            slots, found = lookup(table, keys_row)
-            mask = found & rec_row & ok
-            slots = jnp.where(mask, slots, cap_slot).astype(jnp.int32)
-            p_ovf = patch_overflow_count(keys_row, mask, pose, cam, cfg)
+
+            # inactive rows skip lookup + the overflow projection entirely
+            # (lax.cond is safe here: these outputs are small and do NOT
+            # alias the carried pools — the pools themselves must stay
+            # outside any cond, see the note below)
+            def live(_):
+                slots, found = lookup(table, keys_row)
+                mask = found & rec_row & ok
+                slots = jnp.where(mask, slots, cap_slot).astype(jnp.int32)
+                p_ovf = patch_overflow_count(keys_row, mask, pose, cam, cfg)
+                return slots, mask, p_ovf
+
+            def dead(_):
+                return (
+                    jnp.full((cap,), cap_slot, jnp.int32),
+                    jnp.zeros((cap,), bool),
+                    jnp.int32(0),
+                )
+
+            slots, mask, p_ovf = jax.lax.cond(ok, live, dead, None)
             pools = integrate_blocks_pallas_planar(
                 pools, table.key_of_slot, slots, mask,
                 depths[fi], colors[fi], pose, cam, cfg, sign,
@@ -475,7 +499,7 @@ def integrate_batch(
     cap = cfg.blocks_per_frame_cap
     upd_keys_all, f_truncs = _upd_keys_batch(depths, poses, valid, cam, cfg)
     union, union_overflow = _union_counted(upd_keys_all, cap * 4)
-    table, overflow = allocate(table, union)
+    table, overflow = allocate(table, union, assume_unique_sorted=True)
     table, upd_masks, p_ovfs = _fuse_rows_scan(
         table, depths, colors,
         jnp.arange(b, dtype=jnp.int32), poses, valid, upd_keys_all,
@@ -537,7 +561,7 @@ def deintegrate_batch(
     return table
 
 
-@functools.partial(jax.jit, static_argnames=("cam", "cfg"))
+@functools.partial(jax.jit, static_argnames=("cam", "cfg", "deint_rows"))
 def fuse_batch(
     table: BlockTable,
     depths: jax.Array,  # [B, H, W]
@@ -553,31 +577,42 @@ def fuse_batch(
     # lists for the deints (FuseDiag.upd_keys from integrate time). The list
     # is a pure function of (depth, pose), so the record is bit-identical to
     # recomputation — passing it halves the dominant per-row key-sort work.
+    deint_rows: int | None = None,  # only the LAST deint_rows rows of the
+    # batch may de-integrate (the pipeline's new-frame rows never do); the
+    # scan then runs B + deint_rows rows instead of 2B. None = all B rows.
 ) -> tuple[BlockTable, FuseDiag]:
     """De-integrate + (re-)integrate a frame batch in ONE device program: one
-    allocation merge, one kernel scan over 2B rows (all de-integrations first,
-    preserving the deintegrate_batch->integrate_batch order), and — on the
-    Pallas path — ONE planar pool round trip instead of two. This is the
-    pipeline's per-chunk fuse step (SURVEY.md §3.4 on-the-fly re-integration).
+    allocation merge, one kernel scan over B + deint_rows rows (all
+    de-integrations first, preserving the deintegrate_batch->integrate_batch
+    order), and — on the Pallas path — ONE planar pool round trip instead of
+    two. This is the pipeline's per-chunk fuse step (SURVEY.md §3.4
+    on-the-fly re-integration).
 
     Returns (table, FuseDiag); ``upd_mask`` is the [B, cap] re-integration
     record (all-False rows for frames not re-integrated)."""
     b = depths.shape[0]
+    dr = b if deint_rows is None else deint_rows
+    lo = b - dr  # first row eligible for de-integration
     cap = cfg.blocks_per_frame_cap
+    deint_mask = deint_mask & (jnp.arange(b) >= lo)
     reint_keys, trunc_r = _upd_keys_batch(depths, new_poses, reint_mask, cam, cfg)
     if upd_keys_rec is None:
-        deint_keys, _ = _upd_keys_batch(depths, old_poses, deint_mask, cam, cfg)
+        deint_keys, _ = _upd_keys_batch(
+            depths[lo:], old_poses[lo:], deint_mask[lo:], cam, cfg
+        )
     else:
-        deint_keys = jnp.where(deint_mask[:, None], upd_keys_rec, INVALID_KEY)
+        deint_keys = jnp.where(
+            deint_mask[lo:, None], upd_keys_rec[lo:], INVALID_KEY
+        )
     keys2 = jnp.concatenate([deint_keys, reint_keys])
     union, union_overflow = _union_counted(reint_keys, cap * 4)
-    table, overflow = allocate(table, union)
-    act2 = jnp.concatenate([deint_mask, reint_mask])
-    fidx2 = jnp.concatenate([jnp.arange(b), jnp.arange(b)]).astype(jnp.int32)
-    poses2 = jnp.concatenate([old_poses, new_poses])
-    rec2 = jnp.concatenate([upd_masks_rec, jnp.ones((b, cap), bool)])
+    table, overflow = allocate(table, union, assume_unique_sorted=True)
+    act2 = jnp.concatenate([deint_mask[lo:], reint_mask])
+    fidx2 = jnp.concatenate([jnp.arange(lo, b), jnp.arange(b)]).astype(jnp.int32)
+    poses2 = jnp.concatenate([old_poses[lo:], new_poses])
+    rec2 = jnp.concatenate([upd_masks_rec[lo:], jnp.ones((b, cap), bool)])
     sign2 = jnp.concatenate(
-        [-jnp.ones(b, jnp.float32), jnp.ones(b, jnp.float32)]
+        [-jnp.ones(dr, jnp.float32), jnp.ones(b, jnp.float32)]
     )
     table, masks2, povf2 = _fuse_rows_scan(
         table, depths, colors, fidx2, poses2, act2, keys2, rec2, sign2, cam, cfg
@@ -585,7 +620,7 @@ def fuse_batch(
     return table, FuseDiag(
         overflow=overflow + union_overflow,
         upd_truncated=jnp.sum(trunc_r).astype(jnp.int32),
-        patch_overflow=jnp.sum(povf2[b:]).astype(jnp.int32),
-        upd_mask=masks2[b:],
+        patch_overflow=jnp.sum(povf2[dr:]).astype(jnp.int32),
+        upd_mask=masks2[dr:],
         upd_keys=reint_keys,
     )
