@@ -112,7 +112,7 @@ def fuse_keys_to_keyframe(
 )
 def process_chunk(
     depth_raw: jax.Array,  # [S+1, H, W]
-    color: jax.Array,  # [S+1, H, W, 3]
+    color: jax.Array,  # [S+1, H, W, 3] RGB — or [S+1, H, W] LUMA (v2 wire)
     cam: CameraModel,
     cache_cam: CameraModel,
     cfg: BundlingConfig,
@@ -122,24 +122,33 @@ def process_chunk(
 ) -> ChunkResult:
     """The whole local pipeline for one chunk as a single XLA program.
 
-    Accepts f32 (meters / [0,1]) or compact wire formats — uint16 depth in mm,
-    uint8 color — which quarter the host->device transfer; conversion happens
-    on device.
+    Accepts f32 (meters / [0,1]) or compact wire formats — uint16 depth in
+    mm; color as RGB (ndim 4) or as a single LUMA plane (ndim 3, the v2
+    wire: bundling consumes only intensity, so only Y is shipped).
+    Conversion happens on device.
     """
+    from ..ops.preprocess import preprocess_frames_y
+
     s1 = depth_raw.shape[0]
-    if depth_raw.dtype == jnp.uint16:
-        depth_raw = depth_raw.astype(jnp.float32) * 1e-3
-    if color.dtype == jnp.uint8:
-        color = color.astype(jnp.float32) * (1.0 / 255.0)
-    frames, cache = preprocess_frames(
-        depth_raw,
-        color,
-        cam,
-        cache_cam,
-        sigma_d=sigma_d,
-        sigma_r=sigma_r,
-        filter_depth=filter_depth,
-    )
+    if color.ndim == 3:  # v2 wire: luma plane
+        frames, cache = preprocess_frames_y(
+            depth_raw, color, cam, cache_cam,
+            sigma_d=sigma_d, sigma_r=sigma_r, filter_depth=filter_depth,
+        )
+    else:
+        if depth_raw.dtype == jnp.uint16:
+            depth_raw = depth_raw.astype(jnp.float32) * 1e-3
+        if color.dtype == jnp.uint8:
+            color = color.astype(jnp.float32) * (1.0 / 255.0)
+        frames, cache = preprocess_frames(
+            depth_raw,
+            color,
+            cam,
+            cache_cam,
+            sigma_d=sigma_d,
+            sigma_r=sigma_r,
+            filter_depth=filter_depth,
+        )
     keys = sift.detect_batch(frames.intensity, frames.depth, cam, cfg)
 
     pairs_a, pairs_b = _chunk_pairs(s1)

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import functools
 import os
+import time
 import weakref
 from concurrent.futures import ThreadPoolExecutor
 from typing import NamedTuple
@@ -235,13 +236,14 @@ def _plan_and_fuse(
     # skip recomputing + re-sorting its key lists (pure function of
     # (depth, pose), so the record is bit-identical to recomputation)
     hist_d16: jax.Array,  # [R, H, W] uint16 depth (mm, wire format)
-    hist_c8: jax.Array,  # [R, H, W, 3] uint8 color
+    hist_c8: jax.Array,  # [R, H/2, W/2, 3] uint8 color (half-res wire;
+    # the fuse kernels nearest-upsample it on device — TSDF coloring only)
     ring_frame: jax.Array,  # [R] int32 — frame id resident in each ring slot
     runlog_dev: jax.Array,  # [Cmax + 1, RUNREC_WIDTH] float32
     chunk_idx: jax.Array,  # int32
     stats_in: jax.Array,  # [9] float32 from the graph step / chunk result
     d16_new: jax.Array,  # [chunk_frames, H, W] new frames (wire)
-    c8_new: jax.Array,  # [chunk_frames, H, W, 3]
+    c8_new: jax.Array,  # [chunk_frames, H/2, W/2, 3] half-res color wire
     new_ids: jax.Array,  # [chunk_frames] int32
     new_valid: jax.Array,  # [chunk_frames] bool — masked rows (the overlap
     # frame after chunk 0; all rows in finalize service passes) neither ring-
@@ -405,21 +407,113 @@ def _dispatch_executor() -> ThreadPoolExecutor:
     return _DISPATCH_EX
 
 
-def _staging_checkout(owner, shape: tuple[int, int, int], n: int = _STAGING_DEPTH) -> list:
-    """Check out ``n`` warm (uint16 depth, uint8 color) buffer pairs of
-    leading shape ``shape``; they return to the pool when ``owner`` is GC'd."""
-    free = _STAGING_POOL.setdefault(shape, [])
-    pairs = []
-    while free and len(pairs) < n:
-        pairs.append(free.pop())
-    while len(pairs) < n:
-        d = np.empty(shape, np.uint16)
-        c = np.empty(shape + (3,), np.uint8)
-        d.fill(0)  # touch every page now: fault cost lands at init,
-        c.fill(0)  # not inside the first timed chunk
-        pairs.append((d, c))
-    weakref.finalize(owner, free.extend, pairs)
-    return pairs
+def _staging_checkout(owner, spec: tuple, n: int = _STAGING_DEPTH) -> list:
+    """Check out ``n`` warm buffer tuples, one array per ``spec`` entry
+    ((shape, dtype), ...); they return to the pool when ``owner`` is GC'd.
+    Buffers are page-touched at allocation: first-touch page faults on this
+    host run ~50x slower than warm rewrites."""
+    spec = tuple((tuple(s), str(d)) for s, d in spec)
+    free = _STAGING_POOL.setdefault(spec, [])
+    bufs = []
+    while free and len(bufs) < n:
+        bufs.append(free.pop())
+    while len(bufs) < n:
+        tup = []
+        for shape, dtype in spec:
+            a = np.empty(shape, dtype)
+            a.fill(0)  # touch every page now, not inside the first timed chunk
+            tup.append(a)
+        bufs.append(tuple(tup))
+    weakref.finalize(owner, free.extend, bufs)
+    return bufs
+
+
+def _wire_views(
+    flat: np.ndarray, cf: int, h: int, w: int, hi: int, wi: int, pack12: bool
+):
+    """Carve the per-chunk wire views out of one flat staging buffer:
+    depth (u16, or 12-bit-packed u8 triples when the sensor ceiling allows)
+    | y8 [cf,h,w] u8 | c8h [cf,h/2,w/2,3] u8, plus integration-res segments
+    when (hi, wi) != (h, w). ONE flat buffer -> ONE host->device transfer
+    per chunk (per-transfer latency on the tunnel's strict mode is ~30 ms —
+    per-array uploads paid it 2-5x)."""
+    segs = []
+    off = 0
+
+    def take(shape, dtype):
+        nonlocal off
+        nbytes = int(np.prod(shape)) * np.dtype(dtype).itemsize
+        v = flat[off : off + nbytes].view(dtype).reshape(shape)
+        off += nbytes
+        segs.append(v)
+        return v
+
+    def take_d(hh, ww):
+        if pack12:
+            take((cf, hh * ww // 2 * 3), np.uint8)  # filled by pack_depth12
+        else:
+            take((cf, hh, ww), np.uint16)
+
+    take_d(h, w)
+    take((cf, h, w), np.uint8)  # y8
+    take((cf, h // 2, w // 2, 3), np.uint8)  # c8h
+    if (hi, wi) != (h, w):
+        take_d(hi, wi)
+        take((cf, hi // 2, wi // 2, 3), np.uint8)
+    return segs
+
+
+def _wire_nbytes(cf: int, h: int, w: int, hi: int, wi: int, pack12: bool) -> int:
+    db = (h * w // 2 * 3) if pack12 else (h * w * 2)
+    n = cf * db + cf * h * w + cf * (h // 2) * (w // 2) * 3
+    if (hi, wi) != (h, w):
+        dbi = (hi * wi // 2 * 3) if pack12 else (hi * wi * 2)
+        n += cf * dbi + cf * (hi // 2) * (wi // 2) * 3
+    return n
+
+
+@functools.partial(jax.jit, static_argnames=("cf", "h", "w", "hi", "wi", "pack12"))
+def _unpack_wire(
+    flat: jax.Array, cf: int, h: int, w: int, hi: int, wi: int, pack12: bool
+):
+    """Device-side wire unpack: slice + reinterpret the flat chunk buffer.
+    uint16 reassembles portably from its little-endian byte pair; 12-bit
+    depth unpacks 3 wire bytes -> 2 mm values."""
+    off = 0
+
+    def take_u16(shape):
+        nonlocal off
+        n = int(np.prod(shape))
+        if pack12:
+            seg = jax.lax.slice(flat, (off,), (off + n // 2 * 3,)).reshape(
+                shape[:-1] + (shape[-1] // 2, 3)
+            )
+            off += n // 2 * 3
+            t = seg.astype(jnp.uint16)
+            p0 = t[..., 0] | ((t[..., 1] & 0xF) << 8)
+            p1 = (t[..., 1] >> 4) | (t[..., 2] << 4)
+            return jnp.stack([p0, p1], axis=-1).reshape(shape)
+        seg = jax.lax.slice(flat, (off,), (off + 2 * n,)).reshape(shape + (2,))
+        off += 2 * n
+        lo = seg[..., 0].astype(jnp.uint16)
+        hi_ = seg[..., 1].astype(jnp.uint16)
+        return lo | (hi_ << 8)
+
+    def take_u8(shape):
+        nonlocal off
+        n = int(np.prod(shape))
+        seg = jax.lax.slice(flat, (off,), (off + n,)).reshape(shape)
+        off += n
+        return seg
+
+    d16 = take_u16((cf, h, w))
+    y8 = take_u8((cf, h, w))
+    c8h = take_u8((cf, h // 2, w // 2, 3))
+    if (hi, wi) != (h, w):
+        d16i = take_u16((cf, hi, wi))
+        c8hi = take_u8((cf, hi // 2, wi // 2, 3))
+        return d16, y8, c8h, d16i, c8hi
+    return d16, y8, c8h, d16, c8h
 
 
 class PipelineOutputs(NamedTuple):
@@ -516,11 +610,25 @@ class BundleFusion:
                 f"history_ring_frames={ac.history_ring_frames} must hold at "
                 f"least one chunk ({bc.chunk_size} frames)"
             )
+        if (
+            cam.width % 2 or cam.height % 2
+            or self.int_cam.width % 2 or self.int_cam.height % 2
+        ):
+            raise ValueError("frame dimensions must be even (half-res color wire)")
         self._hist_d16 = jnp.zeros(
             (self.history_cap, self.int_cam.height, self.int_cam.width), jnp.uint16
         )
+        # color rides the wire at HALF resolution (TSDF coloring only —
+        # bundling consumes the full-res LUMA plane instead), halving ring
+        # memory and cutting the upload ~24%
         self._hist_c8 = jnp.zeros(
-            (self.history_cap, self.int_cam.height, self.int_cam.width, 3), jnp.uint8
+            (
+                self.history_cap,
+                self.int_cam.height // 2,
+                self.int_cam.width // 2,
+                3,
+            ),
+            jnp.uint8,
         )
         self._ring_frame = jnp.full((self.history_cap,), -1, jnp.int32)
         self._frame_store: dict[int, tuple[np.ndarray, np.ndarray]] = {}
@@ -569,17 +677,23 @@ class BundleFusion:
         # plus the 2-chunk backpressure cap keeps reuse behind the consuming
         # chunk program even if the upload were fully asynchronous.
         self._stage_rot = 0
-        self._stage = _staging_checkout(
-            self, (self.chunk_frames, cam.height, cam.width)
+        # 12-bit depth wire whenever the sensor ceiling fits (the reference
+        # default s_sensorDepthMax=4.0 m does): 2 px -> 3 bytes, -25% of the
+        # depth bytes on this tunnel's bandwidth-bound transfer path
+        self._pack12 = ac.depth_max * 1000.0 + 1.0 < 4096.0
+        self._wire_dims = (
+            self.chunk_frames,
+            cam.height,
+            cam.width,
+            self.int_cam.height,
+            self.int_cam.width,
+            self._pack12,
         )
-        self._stage_int = (
-            None
-            if self._int_step == (1, 1)
-            else _staging_checkout(
-                self,
-                (self.chunk_frames, self.int_cam.height, self.int_cam.width),
-            )
-        )
+        nbytes = _wire_nbytes(*self._wire_dims)
+        self._stage = _staging_checkout(self, (((nbytes,), "uint8"),))
+        self._stage_views = [
+            _wire_views(buf[0], *self._wire_dims) for buf in self._stage
+        ]
         self._bp_tokens: list = []  # backpressure: block on chunk c-2's output
         self._finalized = False
         self._reloc_seen = 0
@@ -624,16 +738,27 @@ class BundleFusion:
         toolchain built ``native/framewire.cpp`` (numpy fallback otherwise).
         """
         row = self._next_fid % self.chunk_frames
+        cf, h, w = self.chunk_frames, self.cam.height, self.cam.width
         if row == 0 or not self._fs_slabs:
             # row != 0 with no slab happens after checkpoint-resume mid-chunk:
             # the restored pipeline starts writing partway into a fresh slab
             self._fs_slabs.extend(
                 _staging_checkout(
-                    self, (self.chunk_frames, self.cam.height, self.cam.width), 1
+                    self,
+                    (
+                        ((cf, h, w), "uint16"),
+                        ((cf, h, w), "uint8"),
+                        ((cf, h // 2, w // 2, 3), "uint8"),
+                    ),
+                    1,
                 )
             )
-        slab_d, slab_c = self._fs_slabs[-1]
-        d16, c8 = framewire.frame_to_wire(depth, color, out=(slab_d[row], slab_c[row]))
+        slab_d, slab_y, slab_c = self._fs_slabs[-1]
+        d16, y8, c8h = framewire.frame_to_wire2(
+            depth, color, out=(slab_d[row], slab_y[row], slab_c[row]),
+            depth_min=self.config.app.depth_min,
+            depth_max=self.config.app.depth_max,
+        )
         if self.config.app.integrate_filtered_depth:
             # filter at the wire level so ring, FrameStore and every device
             # program share identical bytes (exact de-integration for free);
@@ -643,14 +768,15 @@ class BundleFusion:
             )
         sy, sx = self._int_step
         if (sy, sx) == (1, 1):
-            d16i, c8i = d16, c8
+            d16i, c8hi = d16, c8h
         else:
-            d16i, c8i = d16[::sy, ::sx], c8[::sy, ::sx]
+            d16i, c8hi = d16[::sy, ::sx], c8h[::sy, ::sx]
         fid = self._next_fid
         self._next_fid += 1
-        # FrameStore + ring hold INTEGRATION-res wire (what fusion consumes)
-        self._frame_store[fid] = (d16i, c8i)
-        self._pending.append((d16, c8, d16i, c8i))
+        # FrameStore + ring hold INTEGRATION-res wire (what fusion consumes):
+        # depth + half-res color (bundling's luma plane is upload-transient)
+        self._frame_store[fid] = (d16i, c8hi)
+        self._pending.append((d16, y8, c8h, d16i, c8hi))
         self._maybe_process_chunk()
 
     def push_batch(self, depth: np.ndarray, color: np.ndarray, valid=None) -> None:
@@ -679,24 +805,32 @@ class BundleFusion:
                 self._upload_futs.pop(0).result()
             while len(self._chunk_futs) >= 4:
                 self._chunk_futs.pop(0).result()
-            # one batched host->device transfer per array, assembled by row
-            # copies into warm pooled staging (a fresh np.stack output would
+            # ONE batched host->device transfer per chunk: all wire segments
+            # live in one flat staging buffer (strict-mode transfers pay ~30
+            # ms latency EACH — see _wire_views), assembled by row copies
+            # into warm pooled staging (a fresh np.stack output would
             # page-fault ~300 ms/chunk on this host — see _STAGING_POOL)
             rot = self._stage_rot
-            sd, sc = self._stage[rot]
+            views = self._stage_views[rot]
+            same = len(views) == 3
+
+            def put_d(view_row, d):
+                if self._pack12:
+                    framewire.pack_depth12(d, out=view_row)
+                else:
+                    view_row[:] = d
+
             for i, t in enumerate(take):
-                sd[i] = t[0]
-                sc[i] = t[1]
-            same = take[0][2] is take[0][0]
-            if not same:
-                sdi, sci = self._stage_int[rot]
-                for i, t in enumerate(take):
-                    sdi[i] = t[2]
-                    sci[i] = t[3]
+                put_d(views[0][i], t[0])  # d16
+                views[1][i] = t[1]  # y8
+                views[2][i] = t[2]  # c8h
+                if not same:
+                    put_d(views[3][i], t[3])  # depth at integration res
+                    views[4][i] = t[4]
             self._stage_rot = (rot + 1) % _STAGING_DEPTH
             self._chunks_staged += 1
 
-            def _upload(rot=rot, same=same):
+            def _upload(rot=rot):
                 # The staging buffers are REUSED after _STAGING_DEPTH chunks,
                 # so the device arrays made here must not alias them past this
                 # call. On CPU, jnp.asarray zero-copy aliases an aligned numpy
@@ -705,20 +839,14 @@ class BundleFusion:
                 # block/weight state on the test host) — so force an owned
                 # copy there. On real devices the transfer copies; the final
                 # block bounds the staging lifetime to this call either way.
-                sd, sc = self._stage[rot]
+                flat = self._stage[rot][0]
                 cpu = jax.default_backend() == "cpu"
-
-                def put(x):
-                    return jnp.asarray(np.array(x) if cpu else x)
-
-                if same:
-                    d16, c8 = put(sd), put(sc)
-                    out = (d16, c8, d16, c8)
-                else:
-                    sdi, sci = self._stage_int[rot]
-                    out = (put(sd), put(sc), put(sdi), put(sci))
-                jax.block_until_ready(out)
-                return out
+                t0 = time.perf_counter()
+                flat_dev = jnp.asarray(np.array(flat) if cpu else flat)
+                jax.block_until_ready(flat_dev)
+                self.timing.record("upload", time.perf_counter() - t0)
+                # device-side unpack (async dispatch, negligible)
+                return _unpack_wire(flat_dev, *self._wire_dims)
 
             if self._async_ingest:
                 up = _upload_executor().submit(_upload)
@@ -752,8 +880,9 @@ class BundleFusion:
 
     def _process_chunk(
         self,
-        d_wire: jax.Array,
-        c_wire: jax.Array,
+        d_wire: jax.Array,  # [cf, H, W] uint16 depth (mm)
+        y_wire: jax.Array,  # [cf, H, W] uint8 luma (bundling consumes this)
+        c_wire: jax.Array,  # [cf, H/2, W/2, 3] uint8 half-res color (fusion)
         d_wire_int: jax.Array | None = None,
         c_wire_int: jax.Array | None = None,
     ) -> None:
@@ -777,7 +906,7 @@ class BundleFusion:
         ):
             res = chunk_mod.process_chunk(
                 d_wire,
-                c_wire,
+                y_wire,
                 self.cam,
                 self.cache_cam,
                 bc,
@@ -1063,7 +1192,13 @@ class BundleFusion:
             (self.chunk_frames, self.int_cam.height, self.int_cam.width), jnp.uint16
         )
         empty_c = jnp.zeros(
-            (self.chunk_frames, self.int_cam.height, self.int_cam.width, 3), jnp.uint8
+            (
+                self.chunk_frames,
+                self.int_cam.height // 2,
+                self.int_cam.width // 2,
+                3,
+            ),
+            jnp.uint8,
         )
         empty_ids = jnp.zeros((self.chunk_frames,), jnp.int32)
         empty_valid = jnp.zeros((self.chunk_frames,), bool)

@@ -80,7 +80,13 @@ class AppConfig:
     mc_max_triangles: int = 1 << 20  # capacity of the extracted triangle soup
 
     # --- re-integration (TrajectoryManager budget) ---
-    max_reintegrations_per_frame: int = 2  # frames de+re-integrated per step budget
+    # re-integration budget: up to this many frames de+re-integrate per NEW
+    # frame integrated (the reference's TrajectoryManager emits a small
+    # bounded top-k per frame). 1 = one correction per new frame — the fuse
+    # scan runs chunk_size + 2*budget rows, so this directly sizes the
+    # pipeline's biggest device program; deferred corrections are counted
+    # (runlog n_reint / ring_miss) and drained by finalize().
+    max_reintegrations_per_frame: int = 1
     # pose-delta thresholds past which an integrated frame is scheduled for
     # de+re-integration (the reference's TrajectoryManager pose-distance
     # parameters; lived as hardcoded trajectory.py defaults until round 3)

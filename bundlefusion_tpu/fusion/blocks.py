@@ -39,11 +39,17 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 BLOCK = 8  # voxels per block axis (kernels are specialized to 8^3)
 NVOX = BLOCK**3  # voxels per block, flat order v = z*64 + y*8 + x
 _OFF = 512  # coordinate offset for packing
-INVALID_KEY = jnp.int32(1 << 30)  # sorts after every valid key
+# NOT a jnp scalar: a device-resident constant here means any host use —
+# int(INVALID_KEY) in the pipeline constructor, np comparisons in tests —
+# performs a device->host READBACK, and the FIRST readback of a process
+# permanently drops this machine's TPU tunnel out of its fast upload mode
+# (measured: 1.4 GB/s -> 46 MB/s, ~300 ms of the ~370 ms bench chunk step).
+INVALID_KEY = np.int32(1 << 30)  # sorts after every valid key
 
 
 class BlockTable(NamedTuple):

@@ -239,6 +239,19 @@ def _use_pallas(cfg: AppConfig) -> bool:
     return cfg.use_pallas_tsdf and jax.default_backend() == "tpu"
 
 
+def match_color_res(depth: jax.Array, color: jax.Array) -> jax.Array:
+    """Nearest-upsample a reduced-resolution color image to the depth
+    resolution (the v2 wire ships color at half res — TSDF coloring only).
+    Full-resolution color passes through untouched, so every existing caller
+    and the de-integration exactness story are unchanged (the upsample is a
+    pure function of the stored wire bytes)."""
+    fy = depth.shape[-2] // color.shape[-3]
+    fx = depth.shape[-1] // color.shape[-2]
+    if (fy, fx) == (1, 1):
+        return color
+    return jnp.repeat(jnp.repeat(color, fy, axis=-3), fx, axis=-2)
+
+
 def _patch_window(cfg: AppConfig) -> tuple[int, int]:
     """Guaranteed (u, v) sampling-window extent of the active kernel: a block
     whose projection spans more than this loses its out-of-window voxels."""
@@ -291,6 +304,7 @@ def _integrate_blocks_dispatch(
 
     Masked rows route to the pool's scratch row (slot == capacity) so their
     writes can never collide with a real update of data slot 0."""
+    color = match_color_res(depth, color)
     slots = jnp.where(mask, slots, table.capacity).astype(jnp.int32)
     if _use_pallas(cfg):
         from .pallas_tsdf import integrate_blocks_pallas
@@ -450,7 +464,8 @@ def _fuse_rows_scan(
             slots, mask, p_ovf = jax.lax.cond(ok, live, dead, None)
             pools = integrate_blocks_pallas_planar(
                 pools, table.key_of_slot, slots, mask,
-                depths[fi], colors[fi], pose, cam, cfg, sign,
+                depths[fi], match_color_res(depths[fi], colors[fi]),
+                pose, cam, cfg, sign,
             )
             return pools, (mask, p_ovf)
 

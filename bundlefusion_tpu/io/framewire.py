@@ -50,6 +50,16 @@ def _load() -> ctypes.CDLL | None:
                 ctypes.c_void_p, ctypes.c_long, ctypes.c_long,
                 ctypes.c_float, ctypes.c_float, ctypes.c_void_p,
             ]
+            lib.frame_to_wire2.restype = None
+            lib.frame_to_wire2.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long, ctypes.c_long,
+                ctypes.c_float, ctypes.c_float,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ]
+            lib.pack_depth12.restype = None
+            lib.pack_depth12.argtypes = [
+                ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p,
+            ]
             _lib = lib
         except Exception:
             _build_failed = True
@@ -91,6 +101,75 @@ def frame_to_wire(
     d16[:] = (np.clip(depth, 0.0, 65.0) * 1000.0 + 0.5).astype(np.uint16)
     c8[:] = (np.clip(color, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
     return d16, c8
+
+
+def frame_to_wire2(
+    depth: np.ndarray,
+    color: np.ndarray,
+    out: tuple[np.ndarray, np.ndarray, np.ndarray] | None = None,
+    depth_min: float = 0.0,
+    depth_max: float = 65.0,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """v2 wire: float depth [H, W] + float color [H, W, 3] -> (uint16 mm
+    depth [H, W], uint8 LUMA [H, W], uint8 RGB [H/2, W/2, 3]).
+
+    Depth outside [depth_min, depth_max] becomes INVALID (0) — the
+    reference's sensor-range gate (s_sensorDepthMin/Max at capture). The
+    bundling half of the pipeline consumes only full-res intensity
+    (SIFT + the photometric cache); RGB is consumed only by TSDF voxel
+    coloring — shipping Y at full res and RGB 2x2-box-downsampled cuts the
+    host->device wire ~24% with no effect on tracking. H and W must be even.
+    """
+    lib = _load()
+    h, w = depth.shape
+    if out is not None:
+        d16, y8, c8h = out
+        for a in (d16, y8, c8h):
+            if not a.flags.c_contiguous:
+                raise ValueError("frame_to_wire2 out buffers must be C-contiguous")
+    else:
+        d16 = np.empty((h, w), np.uint16)
+        y8 = np.empty((h, w), np.uint8)
+        c8h = np.empty((h // 2, w // 2, 3), np.uint8)
+    if lib is not None and color.shape == (h, w, 3):
+        d = np.ascontiguousarray(depth, dtype=np.float32)
+        c = np.ascontiguousarray(color, dtype=np.float32)
+        lib.frame_to_wire2(
+            d.ctypes.data, c.ctypes.data, h, w,
+            ctypes.c_float(depth_min), ctypes.c_float(depth_max),
+            d16.ctypes.data, y8.ctypes.data, c8h.ctypes.data,
+        )
+        return d16, y8, c8h
+    din = np.where((depth >= depth_min) & (depth <= depth_max), depth, 0.0)
+    d16[:] = (din.astype(np.float32) * np.float32(1000.0) + np.float32(0.5)).astype(
+        np.uint16
+    )
+    lum = color[..., 0] * 0.299 + color[..., 1] * 0.587 + color[..., 2] * 0.114
+    y8[:] = (np.clip(lum, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+    half = 0.25 * (
+        color[0::2, 0::2] + color[0::2, 1::2] + color[1::2, 0::2] + color[1::2, 1::2]
+    )
+    c8h[:] = (np.clip(half, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+    return d16, y8, c8h
+
+
+def pack_depth12(d16: np.ndarray, out: np.ndarray | None = None) -> np.ndarray:
+    """2 depth pixels -> 3 wire bytes (values must be < 4096 mm — callers
+    gate on the sensor ceiling). d16 flattens row-major; size must be even."""
+    flat = d16.reshape(-1)
+    n = flat.shape[0]
+    if out is None:
+        out = np.empty((n // 2 * 3,), np.uint8)
+    lib = _load()
+    if lib is not None and flat.flags.c_contiguous and out.flags.c_contiguous:
+        lib.pack_depth12(flat.ctypes.data, n, out.ctypes.data)
+        return out
+    p = flat.reshape(-1, 2).astype(np.uint32)
+    trip = out.reshape(-1, 3)
+    trip[:, 0] = p[:, 0] & 0xFF
+    trip[:, 1] = (p[:, 0] >> 8) | ((p[:, 1] & 0xF) << 4)
+    trip[:, 2] = p[:, 1] >> 4
+    return out
 
 
 def bilateral_wire(d16: np.ndarray, sigma_d: float, sigma_r: float) -> np.ndarray:

@@ -219,6 +219,45 @@ def preprocess_frames(
     is one XLA computation: the CUDA version's 6 kernel launches per frame
     fuse into a few HBM passes here.
     """
+    intensity = color_to_intensity(color)
+    return _preprocess_core(
+        depth_raw, intensity, color, cam, cache_cam, sigma_d, sigma_r, filter_depth
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cam", "cache_cam", "filter_depth"))
+def preprocess_frames_y(
+    depth_raw: jax.Array,  # [N, H, W] f32 meters or uint16 mm wire
+    y8: jax.Array,  # [N, H, W] uint8 luma wire (or f32 intensity)
+    cam: CameraModel,
+    cache_cam: CameraModel,
+    sigma_d: float = 2.0,
+    sigma_r: float = 0.1,
+    filter_depth: bool = True,
+) -> tuple[ProcessedFrames, FrameCache]:
+    """`preprocess_frames` for the v2 wire: intensity arrives as a LUMA plane
+    (uint8, computed host-side by framewire) instead of full RGB — the
+    bundling pipeline consumes no color, so none is shipped to it. The
+    returned ProcessedFrames.color is a zero placeholder (nothing in the
+    chunk path reads it; TSDF coloring dequantizes the half-res color wire
+    from the history ring instead)."""
+    if depth_raw.dtype == jnp.uint16:
+        depth_raw = depth_raw.astype(jnp.float32) * 1e-3
+    intensity = (
+        y8.astype(jnp.float32) * (1.0 / 255.0) if y8.dtype == jnp.uint8 else y8
+    )
+    # [N,1,1,3] placeholder: jit outputs are never DCE'd, and a full-size
+    # zeros plane would cost a 40 MB HBM fill per chunk for a field nothing
+    # in the chunk path reads
+    color = jnp.zeros((intensity.shape[0], 1, 1, 3), jnp.float32)
+    return _preprocess_core(
+        depth_raw, intensity, color, cam, cache_cam, sigma_d, sigma_r, filter_depth
+    )
+
+
+def _preprocess_core(
+    depth_raw, intensity, color, cam, cache_cam, sigma_d, sigma_r, filter_depth
+):
     depth = jnp.where(
         (depth_raw > 0.0) & jnp.isfinite(depth_raw), depth_raw, 0.0
     )
@@ -226,7 +265,6 @@ def preprocess_frames(
         depth = bilateral_filter_depth(depth, sigma_d, sigma_r)
     points = unproject(cam, depth)
     normals = compute_normals(points)
-    intensity = color_to_intensity(color)
 
     fh = cam.height // cache_cam.height
     fw = cam.width // cache_cam.width

@@ -42,6 +42,62 @@ void frame_to_wire(const float* depth, const float* color, long h, long w,
   }
 }
 
+// v2 wire: float depth + float RGB -> uint16 mm depth + full-res uint8 LUMA
+// + HALF-res uint8 RGB (2x2 box mean). The bundling half of the pipeline
+// consumes only intensity at full resolution (SIFT + photometric cache) and
+// the fusion half consumes RGB only for voxel coloring — shipping Y full-res
+// and RGB half-res cuts the host->device wire ~24% with no effect on
+// tracking. h and w must be even.
+void frame_to_wire2(const float* depth, const float* color, long h, long w,
+                    float d_min, float d_max, uint16_t* d16, uint8_t* y8,
+                    uint8_t* c8h) {
+  const long n = h * w;
+#pragma omp parallel for schedule(static)
+  for (long i = 0; i < n; ++i) {
+    float d = depth[i];
+    // sensor-range gate (s_sensorDepthMin/Max): out-of-range depth is
+    // INVALID (0), exactly as CUDAImageManager zeroes it at capture
+    if (d < d_min || d > d_max) d = 0.f;
+    d16[i] = (uint16_t)(d * 1000.f + 0.5f);
+  }
+#pragma omp parallel for schedule(static)
+  for (long i = 0; i < n; ++i) {
+    const float* c = color + 3 * i;
+    float v = 0.299f * c[0] + 0.587f * c[1] + 0.114f * c[2];
+    v = v < 0.f ? 0.f : (v > 1.f ? 1.f : v);
+    y8[i] = (uint8_t)(v * 255.f + 0.5f);
+  }
+  const long h2 = h / 2, w2 = w / 2;
+#pragma omp parallel for schedule(static)
+  for (long y = 0; y < h2; ++y) {
+    const float* r0 = color + (2 * y) * w * 3;
+    const float* r1 = color + (2 * y + 1) * w * 3;
+    uint8_t* out = c8h + y * w2 * 3;
+    for (long x = 0; x < w2; ++x) {
+      const float* a = r0 + 6 * x;
+      const float* b = r1 + 6 * x;
+      for (int ch = 0; ch < 3; ++ch) {
+        float v = 0.25f * (a[ch] + a[3 + ch] + b[ch] + b[3 + ch]);
+        v = v < 0.f ? 0.f : (v > 1.f ? 1.f : v);
+        out[3 * x + ch] = (uint8_t)(v * 255.f + 0.5f);
+      }
+    }
+  }
+}
+
+// 12-bit depth packing for the transfer wire: 2 pixels -> 3 bytes. Valid
+// whenever the sensor depth ceiling fits 12 bits of mm (<= 4.095 m — the
+// reference's s_sensorDepthMax default is 4.0). n must be even.
+void pack_depth12(const uint16_t* d16, long n, uint8_t* out) {
+#pragma omp parallel for schedule(static)
+  for (long i = 0; i < n / 2; ++i) {
+    const uint16_t p0 = d16[2 * i], p1 = d16[2 * i + 1];
+    out[3 * i] = (uint8_t)(p0 & 0xFF);
+    out[3 * i + 1] = (uint8_t)((p0 >> 8) | ((p1 & 0xF) << 4));
+    out[3 * i + 2] = (uint8_t)(p1 >> 4);
+  }
+}
+
 // 5x5 bilateral filter on wire-format depth (uint16 mm), zero-aware:
 // invalid (0) pixels stay invalid and contribute nothing. Gaussian spatial
 // weight (sigma_d in pixels) x gaussian range weight (sigma_r in meters),
