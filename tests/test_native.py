@@ -125,3 +125,48 @@ def test_framewire_native_matches_numpy():
     assert diff.max() <= 1, f"bilateral diverges beyond the wire quantum: {diff.max()}"
     # invalid pixels must stay invalid in both
     np.testing.assert_array_equal(f == 0, f_np == 0)
+
+
+def test_framewire2_native_matches_numpy():
+    """native frame_to_wire2 (luma + half-res color + sensor-range gate) and
+    pack_depth12 must agree with their numpy fallbacks bit-for-bit, and the
+    12-bit pack must round-trip through the device-side unpack."""
+    import numpy as np
+
+    from bundlefusion_tpu.bundle import pipeline as P
+    from bundlefusion_tpu.io import framewire
+
+    rng = np.random.default_rng(5)
+    depth = (
+        rng.uniform(0.0, 5.0, (48, 64)) * (rng.random((48, 64)) > 0.07)
+    ).astype(np.float32)
+    color = rng.random((48, 64, 3)).astype(np.float32)
+
+    nat = framewire.frame_to_wire2(depth, color, depth_min=0.1, depth_max=4.0)
+    lib, framewire._lib = framewire._lib, None
+    bf_prev = framewire._build_failed
+    framewire._build_failed = True
+    try:
+        ref = framewire.frame_to_wire2(depth, color, depth_min=0.1, depth_max=4.0)
+        d16 = nat[0]
+        packed_ref = framewire.pack_depth12(d16)
+    finally:
+        framewire._lib, framewire._build_failed = lib, bf_prev
+    for a, b, name in zip(nat, ref, ("d16", "y8", "c8h")):
+        np.testing.assert_array_equal(a, b, err_msg=name)
+    # sensor gate: out-of-range depth must be invalid
+    assert (nat[0][(depth > 4.0) | ((depth < 0.1) & (depth > 0))] == 0).all()
+
+    packed = framewire.pack_depth12(d16)
+    np.testing.assert_array_equal(packed, packed_ref)
+    # device-side unpack of a crafted flat buffer restores every segment
+    import jax.numpy as jnp
+
+    cf, h, w = 1, 48, 64
+    y8 = nat[1][None]
+    c8h = nat[2][None]
+    flat = np.concatenate([packed.reshape(-1), y8.reshape(-1), c8h.reshape(-1)])
+    out = P._unpack_wire(jnp.asarray(flat), cf, h, w, h, w, True)
+    np.testing.assert_array_equal(np.asarray(out[0])[0], d16)
+    np.testing.assert_array_equal(np.asarray(out[1]), y8)
+    np.testing.assert_array_equal(np.asarray(out[2]), c8h)
