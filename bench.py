@@ -86,17 +86,21 @@ def main() -> None:
     progress(f"rendering {num_frames} synthetic frames at {width}x{height} (CPU)")
     seq = generate_sequence(num_frames, width=width, height=height, radius=0.5)
 
-    # enter STRICT (eager) mode once, up front — see module docstring
-    np.asarray(jnp.zeros(1) + 1)
-
     def run_pass(profile: bool) -> tuple[BundleFusion, float]:
         bf = BundleFusion(seq.camera, cfg, anchor_pose=seq.poses[0], profile=profile)
         t0 = time.perf_counter()
         for i in range(num_frames):
             bf.push_frame(seq.depth[i], seq.color[i])
         bf.flush()
-        # wait on the LAST programs of the last chunk — the fused TSDF step
-        # writes runlog_dev and the table, so waiting on them drains the queue
+        # END-OF-PASS BARRIER IS A READBACK, not block_until_ready: the
+        # tunnel has been observed treating block_until_ready as a no-op
+        # (deferring execution entirely) even after earlier readbacks, which
+        # would make a block-terminated "measurement" pure dispatch time. A
+        # readback of the device-accumulated work counter — produced by the
+        # LAST fused program — forces execution of everything this pass
+        # dispatched, in every tunnel regime. The extra block afterwards
+        # covers trailing gc/publish dispatches when the regime is eager.
+        np.asarray(bf.blocks_updated)
         jax.block_until_ready((bf.graph.poses, bf._runlog_dev, bf.table.weight))
         return bf, time.perf_counter() - t0
 

@@ -689,11 +689,24 @@ class BundleFusion:
             self.int_cam.width,
             self._pack12,
         )
-        nbytes = _wire_nbytes(*self._wire_dims)
-        self._stage = _staging_checkout(self, (((nbytes,), "uint8"),))
-        self._stage_views = [
-            _wire_views(buf[0], *self._wire_dims) for buf in self._stage
+        # chunk 0 uploads all chunk_frames rows; every later chunk uploads S
+        # rows (the overlap frame is reused on device from the previous
+        # chunk's upload — see _maybe_process_chunk)
+        full_dims = self._wire_dims
+        steady_dims = (self.S,) + self._wire_dims[1:]
+        self._stage_full = _staging_checkout(
+            self, (((_wire_nbytes(*full_dims),), "uint8"),), 1
+        )
+        self._stage_views_full = [
+            _wire_views(buf[0], *full_dims) for buf in self._stage_full
         ]
+        self._stage = _staging_checkout(
+            self, (((_wire_nbytes(*steady_dims),), "uint8"),)
+        )
+        self._stage_views = [
+            _wire_views(buf[0], *steady_dims) for buf in self._stage
+        ]
+        self._prev_tail: tuple | None = None  # device rows, upload-thread only
         self._bp_tokens: list = []  # backpressure: block on chunk c-2's output
         self._finalized = False
         self._reloc_seen = 0
@@ -809,10 +822,16 @@ class BundleFusion:
             # live in one flat staging buffer (strict-mode transfers pay ~30
             # ms latency EACH — see _wire_views), assembled by row copies
             # into warm pooled staging (a fresh np.stack output would
-            # page-fault ~300 ms/chunk on this host — see _STAGING_POOL)
+            # page-fault ~300 ms/chunk on this host — see _STAGING_POOL).
+            # The OVERLAP frame (row 0 of every chunk after the first) was
+            # the LAST row of the previous chunk's upload — it is reused from
+            # the device (_prev_tail) instead of being re-sent: S rows ride
+            # the wire per steady chunk, not S+1 (~9% of a bandwidth-capped
+            # transfer path).
             rot = self._stage_rot
-            views = self._stage_views[rot]
+            views = self._stage_views_full[0] if first else self._stage_views[rot]
             same = len(views) == 3
+            lo = 0 if first else 1
 
             def put_d(view_row, d):
                 if self._pack12:
@@ -820,7 +839,7 @@ class BundleFusion:
                 else:
                     view_row[:] = d
 
-            for i, t in enumerate(take):
+            for i, t in enumerate(take[lo:]):
                 put_d(views[0][i], t[0])  # d16
                 views[1][i] = t[1]  # y8
                 views[2][i] = t[2]  # c8h
@@ -830,7 +849,7 @@ class BundleFusion:
             self._stage_rot = (rot + 1) % _STAGING_DEPTH
             self._chunks_staged += 1
 
-            def _upload(rot=rot):
+            def _upload(rot=rot, first=first):
                 # The staging buffers are REUSED after _STAGING_DEPTH chunks,
                 # so the device arrays made here must not alias them past this
                 # call. On CPU, jnp.asarray zero-copy aliases an aligned numpy
@@ -839,14 +858,27 @@ class BundleFusion:
                 # block/weight state on the test host) — so force an owned
                 # copy there. On real devices the transfer copies; the final
                 # block bounds the staging lifetime to this call either way.
-                flat = self._stage[rot][0]
+                # Runs on the single upload worker in strict FIFO order, so
+                # _prev_tail (device rows of the previous chunk's last frame)
+                # is only ever touched sequentially.
+                flat = (self._stage_full[0] if first else self._stage[rot])[0]
                 cpu = jax.default_backend() == "cpu"
                 t0 = time.perf_counter()
                 flat_dev = jnp.asarray(np.array(flat) if cpu else flat)
                 jax.block_until_ready(flat_dev)
                 self.timing.record("upload", time.perf_counter() - t0)
                 # device-side unpack (async dispatch, negligible)
-                return _unpack_wire(flat_dev, *self._wire_dims)
+                cf, h, w, hi, wi, p12 = self._wire_dims
+                if first:
+                    full = _unpack_wire(flat_dev, cf, h, w, hi, wi, p12)
+                else:
+                    new = _unpack_wire(flat_dev, self.S, h, w, hi, wi, p12)
+                    full = tuple(
+                        jnp.concatenate([p, n])
+                        for p, n in zip(self._prev_tail, new)
+                    )
+                self._prev_tail = tuple(x[-1:] for x in full)
+                return full
 
             if self._async_ingest:
                 up = _upload_executor().submit(_upload)

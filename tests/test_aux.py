@@ -287,6 +287,12 @@ def test_soak_2k_frames_bounded_memory():
             block_capacity=4096,
             history_ring_frames=256,  # << n: forces ring spill + deferral
             gc_every_chunks=8,
+            # a 9 m corridor needs a long-range sensor: the default 4.0 m
+            # Kinect ceiling (now enforced at ingest, reference semantics)
+            # would invalidate most of each forward-looking frame. >4.095 m
+            # also disables the 12-bit depth pack, so this soak covers the
+            # uint16 wire path.
+            depth_max=10.0,
         ),
         bundling=dataclasses.replace(
             base.bundling,
